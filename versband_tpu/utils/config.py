@@ -1,0 +1,182 @@
+"""Config system: YAML trees, dotted-path overrides, reflection-based instantiation.
+
+Capability mirror of the reference's OmegaConf + ``instantiate_from_config`` spine
+(``ldm/util.py:110-125``, ``main.py:650-652``) and the yaml-inheritance hparams
+system (``utils/commons/hparams.py:25-133``), re-implemented without external deps.
+
+A config is a plain nested dict. Any node of the form
+``{"target": "pkg.mod.Class", "params": {...}}`` can be instantiated recursively.
+Reference ``ldm.*``/``vocoder.*`` target strings are transparently remapped to the
+equivalent versband_tpu classes so the reference YAML configs work verbatim.
+"""
+
+from __future__ import annotations
+
+import copy
+import importlib
+import os
+from typing import Any, Iterable, Mapping
+
+import yaml
+
+
+class Config(dict):
+    """Nested dict with attribute access, used for all configs."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    @staticmethod
+    def wrap(obj: Any) -> Any:
+        if isinstance(obj, Mapping) and not isinstance(obj, Config):
+            return Config({k: Config.wrap(v) for k, v in obj.items()})
+        if isinstance(obj, Config):
+            return Config({k: Config.wrap(v) for k, v in obj.items()})
+        if isinstance(obj, list):
+            return [Config.wrap(v) for v in obj]
+        return obj
+
+
+# Reference (PyTorch repo) dotted targets -> versband_tpu equivalents.
+# Lets users feed the reference's configs/*.yaml to this framework unchanged.
+TARGET_ALIASES = {
+    "ldm.models.autoencoder1d.AutoencoderKL": "versband_tpu.models.autoencoder.AutoencoderKL",
+    "ldm.models.diffusion.cfm1_audio.CFM": "versband_tpu.models.cfm.CFM",
+    "ldm.models.diffusion.ddpm_audio.LatentDiffusion_audio": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeImprovedDiTV2": "versband_tpu.models.dit.BandMoeDiT",
+    "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeDiT": "versband_tpu.models.dit.BandMoeDiT",
+    "ldm.modules.diffusionmodules.flag_large_dit_moe.VideoFlagLargeDiT": "versband_tpu.models.dit_timefreq.TimeFreqMoeDiT",
+    "ldm.modules.diffusionmodules.concatDiT.ConcatDiT2MLP": "versband_tpu.models.concat_dit.ConcatDiT",
+    "ldm.modules.encoders.modules.FrozenTextVocalEmbedder": "versband_tpu.text.embedders.TextVocalEmbedder",
+    "ldm.modules.encoders.modules.FrozenTextVocalMusicalEmbedder": "versband_tpu.text.embedders.TextVocalMusicalEmbedder",
+    "ldm.modules.encoders.modules.FrozenFLANEmbedder": "versband_tpu.text.embedders.FlanT5Embedder",
+    "ldm.modules.encoders.modules.FrozenCLAPEmbedder": "versband_tpu.text.embedders.ClapTextEmbedder",
+    "ldm.modules.encoders.modules.FrozenCLAPFLANEmbedder": "versband_tpu.text.embedders.ClapFlanEmbedder",
+    "ldm.modules.losses_audio.contperceptual.LPAPSWithDiscriminator": "versband_tpu.train.gan_losses.VAEGANLoss",
+    "torch.nn.Identity": "versband_tpu.utils.config.Identity",
+    "vocoder.hifigan.hifigan.HifiGAN": "versband_tpu.vocoder.hifigan.HifiGAN",
+    "vocoder.bigvgan.models.VocoderBigVGAN": "versband_tpu.vocoder.bigvgan.VocoderBigVGAN",
+    "ldm.lr_scheduler.LambdaLinearScheduler": "versband_tpu.train.lr_schedules.LambdaLinearScheduler",
+    "ldm.lr_scheduler.LambdaWarmUpCosineScheduler": "versband_tpu.train.lr_schedules.LambdaWarmUpCosineScheduler",
+    "ldm.data.vocal2accomp_musical_dataset.JoinSpecsTrain": "versband_tpu.data.vocal2accomp.JoinSpecsTrain",
+    "ldm.data.vocal2accomp_musical_dataset.JoinSpecsValidation": "versband_tpu.data.vocal2accomp.JoinSpecsValidation",
+    "ldm.data.vocal2accomp_dataset.JoinSpecsTrain": "versband_tpu.data.vocal2accomp.JoinSpecsTrain",
+    "ldm.data.vocal2accomp_dataset.JoinSpecsValidation": "versband_tpu.data.vocal2accomp.JoinSpecsValidation",
+    "ldm.data.joinaudiodataset_624.JoinSpecsTrain": "versband_tpu.data.fixed_len.JoinSpecsTrain",
+    "ldm.data.joinaudiodataset_624.JoinSpecsValidation": "versband_tpu.data.fixed_len.JoinSpecsValidation",
+    "main.AudioLogger": "versband_tpu.train.callbacks.AudioLogger",
+    "main.ImageLogger": "versband_tpu.train.callbacks.ImageLogger",
+    "main.SpectrogramDataModuleFromConfig": "versband_tpu.data.datamodule.SpectrogramDataModule",
+    "main.DataModuleFromConfig": "versband_tpu.data.datamodule.DataModule",
+}
+
+
+class Identity:
+    """Stand-in for ``torch.nn.Identity`` loss placeholders in configs."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
+def get_obj_from_str(string: str, reload: bool = False) -> Any:
+    string = TARGET_ALIASES.get(string, string)
+    module, cls = string.rsplit(".", 1)
+    mod = importlib.import_module(module)
+    if reload:
+        importlib.reload(mod)
+    return getattr(mod, cls)
+
+
+def instantiate_from_config(config: Mapping, **extra_kwargs: Any) -> Any:
+    """Build the object described by ``{"target": ..., "params": {...}}``.
+
+    Mirrors ``ldm/util.py:110-125`` including the ``__is_first_stage__`` /
+    ``__is_unconditional__`` sentinels.
+    """
+    if "target" not in config:
+        if config.get("__is_first_stage__", False) or config.get("__is_unconditional__", False):
+            return None
+        raise KeyError(f"Expected key `target` to instantiate: {config!r}")
+    params = dict(config.get("params") or {})
+    params.update(extra_kwargs)
+    return get_obj_from_str(config["target"])(**params)
+
+
+def load_config(path: str | os.PathLike) -> Config:
+    """Load one YAML file, following legacy ``base_config`` inheritance chains.
+
+    ``base_config`` may be a string or list of parent YAML paths (resolved
+    relative to the child file, then the CWD), DFS-merged parent-first — the
+    semantics of the reference's hparams system (``utils/commons/hparams.py``).
+    """
+    path = os.fspath(path)
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    bases = cfg.pop("base_config", None)
+    if bases:
+        if isinstance(bases, str):
+            bases = [bases]
+        merged: dict = {}
+        for base in bases:
+            cand = base
+            if not os.path.exists(cand):
+                cand = os.path.join(os.path.dirname(path), base)
+            merged = merge_configs(merged, load_config(cand))
+        cfg = merge_configs(merged, cfg)
+    return Config.wrap(cfg)
+
+
+def merge_configs(base: Mapping, override: Mapping) -> Config:
+    """Deep-merge ``override`` into ``base`` (override wins; dicts merge recursively)."""
+    out = dict(copy.deepcopy(dict(base)))
+    for k, v in override.items():
+        if k in out and isinstance(out[k], Mapping) and isinstance(v, Mapping):
+            out[k] = merge_configs(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return Config.wrap(out)
+
+
+def _parse_value(s: str) -> Any:
+    try:
+        return yaml.safe_load(s)
+    except yaml.YAMLError:
+        return s
+
+
+def apply_dot_overrides(cfg: Mapping, overrides: Iterable[str]) -> Config:
+    """Apply ``a.b.c=value`` dotlist overrides (the reference's CLI `unknown` args)."""
+    cfg = Config.wrap(copy.deepcopy(dict(cfg)))
+    for item in overrides:
+        if not item:
+            continue
+        key, _, raw = item.partition("=")
+        key = key.lstrip("+-")
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            if p not in node or not isinstance(node[p], Mapping):
+                node[p] = Config()
+            node = node[p]
+        node[parts[-1]] = Config.wrap(_parse_value(raw))
+    return cfg
+
+
+def config_to_yaml(cfg: Mapping) -> str:
+    def plain(o):
+        if isinstance(o, Mapping):
+            return {k: plain(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [plain(v) for v in o]
+        return o
+
+    return yaml.safe_dump(plain(cfg), sort_keys=False)
