@@ -1,0 +1,70 @@
+"""Pallas flash attention vs pure-jnp SDPA (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from versband_tpu.nn import sdpa
+from versband_tpu.ops import flash_attention
+
+
+def _rand_qkv(key, B, Tq, Tk, H, D, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, Tq, H, D), dtype)
+    k = jax.random.normal(kk, (B, Tk, H, D), dtype)
+    v = jax.random.normal(kv, (B, Tk, H, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("Tq,Tk,D", [(128, 128, 64), (256, 384, 96), (80, 200, 96)])
+def test_matches_sdpa_unmasked(Tq, Tk, D):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, Tq, Tk, 4, D)
+    out = flash_attention(q, k, v)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_matches_sdpa_varlen_mask():
+    B, Tq, Tk, H, D = 3, 160, 320, 2, 96
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), B, Tq, Tk, H, D)
+    kv_len = jnp.array([320, 17, 200], jnp.int32)
+    out = flash_attention(q, k, v, kv_len=kv_len)
+    mask = (jnp.arange(Tk)[None, :] < kv_len[:, None]).astype(jnp.float32)
+    ref = sdpa(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_io_fp32_accumulation():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 2, 128, 128, 2, 64, jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref = sdpa(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_gradients_match_sdpa():
+    B, T, H, D = 2, 96, 2, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, T, T, H, D)
+    kv_len = jnp.array([96, 50], jnp.int32)
+    mask = (jnp.arange(T)[None, :] < kv_len[:, None]).astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_len=kv_len) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_jit_and_scale():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 64, 64, 1, 64)
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=0.5))
+    out = f(q, k, v)
+    ref = sdpa(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -233,6 +233,7 @@ class TransformerBlock(fnn.Module):
     multiple_of: int = 256
     norm_eps: float = 1e-5
     qk_norm: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -251,7 +252,7 @@ class TransformerBlock(fnn.Module):
                       name="attention_y_norm")(y)
         h = x + gate_msa[:, None, :] * JointAttention(
             self.dim, self.n_heads, self.n_kv_heads, self.qk_norm, self.y_dim,
-            dtype=self.dtype, name="attention",
+            use_flash=self.use_flash, dtype=self.dtype, name="attention",
         )(attn_in, x_mask, rope_cos, rope_sin, y_n, y_mask)
 
         ffn_in = modulate(
@@ -308,6 +309,7 @@ class BandMoeDiT(fnn.Module):
     ntk_factor: float = 1.0
     midi_vocab: int = 130
     beats_vocab: int = 3
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -368,7 +370,8 @@ class BandMoeDiT(fnn.Module):
                 self.hidden_size, self.num_heads, self.hidden_size,
                 num_experts=self.num_experts, n_kv_heads=self.n_kv_heads,
                 multiple_of=self.multiple_of, norm_eps=self.norm_eps,
-                qk_norm=self.qk_norm, dtype=self.dtype, name=f"blocks_{i}",
+                qk_norm=self.qk_norm, use_flash=self.use_flash,
+                dtype=self.dtype, name=f"blocks_{i}",
             )(h, None, caption, None, rope_cos, rope_sin, adaln_input,
               t_emb, caption, acoustic, step=step, train=train)
             lb_total = lb_total + lb

@@ -174,6 +174,22 @@ def sdpa(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     return out.astype(dtype)
 
 
+def attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
+              scale: Optional[float] = None, use_flash: bool = False) -> Array:
+    """Dispatch between jnp SDPA and the Pallas flash kernel.
+
+    ``use_flash`` assumes the mask (if any) is a contiguous padding prefix —
+    exactly what the bucketed data pipeline produces — and converts it to
+    per-example valid lengths for the kernel.
+    """
+    if use_flash:
+        from versband_tpu.ops import flash_attention
+
+        kv_len = None if mask is None else mask.astype(jnp.int32).sum(-1)
+        return flash_attention(q, k, v, kv_len=kv_len, scale=scale)
+    return sdpa(q, k, v, mask, scale)
+
+
 class JointAttention(fnn.Module):
     """Self-attention with RoPE + optional zero-init tanh-gated cross-attention.
 
@@ -181,6 +197,7 @@ class JointAttention(fnn.Module):
     serves both the self path (over x, with RoPE and x_mask) and the text
     cross path (over y, per-head tanh gate initialized to 0). GQA supported via
     ``n_kv_heads``. Instead of varlen unpadding, padded buckets + masks.
+    ``use_flash`` routes both passes through the Pallas flash kernel.
     """
 
     dim: int
@@ -188,6 +205,7 @@ class JointAttention(fnn.Module):
     n_kv_heads: Optional[int] = None
     qk_norm: bool = False
     y_dim: int = 0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -227,7 +245,7 @@ class JointAttention(fnn.Module):
             k = jnp.repeat(k, n_rep, axis=2)
             v = jnp.repeat(v, n_rep, axis=2)
 
-        out = sdpa(q, k, v, x_mask)
+        out = attention(q, k, v, x_mask, use_flash=self.use_flash)
 
         if self.y_dim > 0 and y is not None:
             ky = fnn.Dense(n_kv * head_dim, use_bias=False, dtype=self.dtype,
@@ -243,6 +261,9 @@ class JointAttention(fnn.Module):
                 ky = jnp.repeat(ky, n_rep, axis=2)
                 vy = jnp.repeat(vy, n_rep, axis=2)
             gate = self.param("gate", fnn.initializers.zeros, (self.n_heads,), jnp.float32)
+            # cross-attention keys are short (text, ~80 tokens): XLA's fused
+            # SDPA beats a Pallas dispatch there, so the flash path is
+            # self-attention only.
             out_y = sdpa(q, ky, vy, y_mask)
             out = out + out_y * jnp.tanh(gate).astype(out.dtype)[None, None, :, None]
 
