@@ -1,0 +1,130 @@
+"""Headline benchmark: 20 s accompaniment generation real-time factor, one chip.
+
+Mirrors the reference inference path (``scripts/test_final.py``): 25-step CFM
+Euler ODE with CFG (batch-doubled cond+uncond in one call), VAE decode to an
+80-bin mel, and HiFi-GAN vocoding to a 24 kHz waveform (skipped with a note if
+the vocoder package isn't built yet). Baseline target (BASELINE.md): >= 10x
+real time per TPU v5e chip — ``vs_baseline`` is RTF / 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+SR = 24000
+HOP = 320
+CLIP_S = 20.0
+T_MEL = 1504          # ~20 s at 75 fps, multiple of 8 (collate rule)
+T_LAT = T_MEL // 2
+ODE_STEPS = 25
+CFG_SCALE = 2.0
+DTYPE = jnp.bfloat16  # production serving dtype; fp32 softmax/matmul accum inside
+
+
+def build_pipeline():
+    from versband_tpu.models.autoencoder import AutoencoderKL
+    from versband_tpu.models.cfm import CFM, euler_cfg_sample
+
+    # shipped configs: ae_accomp.yaml / vocal2music.yaml
+    vae = AutoencoderKL(embed_dim=20, ddconfig=dict(
+        double_z=True, in_channels=80, out_ch=80, z_channels=20, kernel_size=5,
+        ch=384, ch_mult=[1, 2, 4], num_res_blocks=2, attn_layers=[3],
+        down_layers=[0], dropout=0.0), dtype=DTYPE)
+    unet = dict(target="versband_tpu.models.dit.BandMoeDiT",
+                params=dict(in_channels=20, context_dim=768, hidden_size=768,
+                            depth=4, num_heads=8, max_len=1500, num_experts=4,
+                            ori_dim=1024, dtype=DTYPE))
+    cfm = CFM(unet_config=unet, mel_dim=20, mel_length=T_LAT,
+              scale_by_std=False, scale_factor=1.0)
+
+    B = 1
+    x_lat = jnp.zeros((B, 20, T_LAT), DTYPE)
+    t0 = jnp.zeros((B,), jnp.float32)
+    cond = {
+        "caption": jnp.zeros((B, 80, 1024), DTYPE),
+        "acoustic": {
+            "midi": jnp.zeros((B, 1, T_MEL), jnp.int32),
+            "beats": jnp.zeros((B, 1, T_MEL), jnp.int32),
+        },
+    }
+    uncond = jax.tree_util.tree_map(jnp.zeros_like, cond)
+
+    from versband_tpu.models.cfm import _cond_to_context
+    dit_params = jax.jit(cfm.model.init)(
+        jax.random.PRNGKey(0), x_lat, t0, _cond_to_context(cond))
+    mel0 = jnp.zeros((B, 80, T_MEL), DTYPE)
+    vae_params = jax.jit(vae.init)(
+        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)}, mel0)
+
+    vocoder_apply = None
+    voc_params = None
+    try:
+        from versband_tpu.vocoder.hifigan import HifiGanGenerator
+
+        voc = HifiGanGenerator()  # shipped 24 kHz config (hop 320)
+        voc_params = jax.jit(voc.init)(jax.random.PRNGKey(3), mel0)
+        vocoder_apply = voc.apply
+    except Exception as e:  # vocoder milestone not built yet
+        print(f"# vocoder unavailable ({type(e).__name__}: {e}); "
+              "benchmarking sampler+VAE only", file=sys.stderr)
+
+    # Three separately-jitted stages (sampler / VAE decode / vocoder):
+    # smaller programs compile reliably through the axon tunnel, and the
+    # staged form is what production serving pipelines anyway (SURVEY §2.10).
+    # Params are jit ARGUMENTS (closure constants get baked into the HLO and
+    # overflow the remote-compile upload limit — HTTP 413).
+    @jax.jit
+    def sample_stage(dit_p, key):
+        z0 = jax.random.normal(key, (B, 20, T_LAT), DTYPE)
+        return euler_cfg_sample(cfm.model.apply, dit_p, z0, cond, uncond,
+                                guidance_scale=CFG_SCALE, num_steps=ODE_STEPS)
+
+    @jax.jit
+    def decode_stage(vae_p, z):
+        return vae.apply(vae_p, z.astype(DTYPE), method="decode")
+
+    vocode_stage = None
+    if vocoder_apply is not None:
+        vocode_stage = jax.jit(lambda voc_p, mel: vocoder_apply(voc_p, mel))
+
+    def generate(key):
+        z = sample_stage(dit_params, key)
+        mel = decode_stage(vae_params, z)
+        if vocode_stage is not None:
+            return vocode_stage(voc_params, mel)
+        return mel
+
+    return generate, vocoder_apply is not None
+
+
+def main():
+    gen, has_vocoder = build_pipeline()
+    key = jax.random.PRNGKey(42)
+    out = gen(key)
+    jax.block_until_ready(out)  # compile + warm
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = gen(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / n_iter
+
+    audio_s = T_MEL * HOP / SR
+    rtf = audio_s / wall
+    metric = ("rtf_20s_accomp_e2e" if has_vocoder else "rtf_20s_accomp_no_vocoder")
+    print(json.dumps({"metric": metric, "value": round(rtf, 3),
+                      "unit": "x_realtime", "vs_baseline": round(rtf / 10.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

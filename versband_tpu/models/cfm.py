@@ -122,7 +122,7 @@ def euler_cfg_sample(
         else:
             t_in = jnp.full((B,), t_int, jnp.float32)
             v, _ = apply_fn(params, x, t_in, ctx)
-        return x + dt * v, None
+        return (x + dt * v).astype(x.dtype), None
 
     n = ts.shape[0] - 1
     x, _ = jax.lax.scan(step_fn, x0, jnp.arange(n))
