@@ -1,0 +1,66 @@
+"""Fixed-length VAE dataset (``ldm/data/joinaudiodataset_624.py:11-99``):
+mel crops tiled to >= ``spec_crop_len`` then randomly cropped to exactly that
+length. Caption unused (the VAE is unconditional)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from versband_tpu.data.manifests import load_manifest_dirs, split_dataset
+
+
+class JoinManifestSpecs:
+    def __init__(self, split: str, spec_dir_path: str, mel_num: int = 80,
+                 spec_crop_len: int = 624, drop: float = 0.0,
+                 seed: Optional[int] = None, **kwargs):
+        self.split = split
+        self.batch_max_length = spec_crop_len
+        self.batch_min_length = 50
+        self.mel_num = mel_num
+        self.drop = drop
+        self.rng = np.random.default_rng(seed)
+        df = load_manifest_dirs(spec_dir_path, recursive=True)
+        self.dataset = split_dataset(df, split, valid_head=100)
+
+    def __getitem__(self, idx: int) -> dict:
+        data = self.dataset.iloc[idx]
+        try:
+            spec = np.load(data["mel_path"])
+        except Exception:
+            print(f"corrupted:{data['mel_path']}")
+            spec = np.zeros((self.mel_num, self.batch_max_length), np.float32)
+
+        if spec.shape[1] < self.batch_max_length:
+            reps = self.batch_max_length // spec.shape[1] + 1
+            spec = np.tile(spec, reps)
+        if spec.shape[1] > self.batch_max_length:
+            start = int(self.rng.integers(spec.shape[1] - self.batch_max_length))
+            spec = spec[:, start: start + self.batch_max_length]
+
+        item = {"image": spec[:, : self.batch_max_length].astype(np.float32)}
+        if self.split == "test":
+            item["f_name"] = data["name"]
+        return item
+
+    def collater(self, inputs):
+        return {"image": np.stack([i["image"] for i in inputs])}
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+
+class JoinSpecsTrain(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("train", **specs_dataset_cfg)
+
+
+class JoinSpecsValidation(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("valid", **specs_dataset_cfg)
+
+
+class JoinSpecsTest(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("test", **specs_dataset_cfg)

@@ -1,0 +1,203 @@
+"""The main CFM training dataset: vocal->accompaniment pairs with prompts.
+
+Re-design of ``ldm/data/vocal2accomp_musical_dataset.py:20-299`` (and the
+missing ``vocal2accomp_dataset`` module ``main.py`` imports — SURVEY.md §2.3
+gap; this module serves both target names). Per item:
+
+  * ``image``    — accompaniment mel [80, T] (random-cropped if > crop len);
+  * ``acoustic`` — vocal mel truncated to its first 20 bins [20, T] (:162);
+  * ``midi``     — frame-level pitch ids [1, T] (vocab 130, pad id 128);
+  * ``beats``    — frame-level beat impulses [1, T] (vocab 3, pad id 2);
+  * ``caption``  — "Style: <random <psep> split choice> " + "Musical: <prompt
+    from CaptionGenerator2>" with INDEPENDENT CFG dropout of each half and of
+    the acoustic conditions (prob ``drop``, :122-140,167-176);
+  * corrupted-file fallbacks substitute pad-value tensors (:154-160);
+  * lengths forced to multiples of 8 (``unit_frames_multiple``, :42,194).
+
+Randomness is a per-dataset seeded ``np.random.Generator``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from versband_tpu.data.collate import collate_1d_or_2d, pad_or_cut_xd
+from versband_tpu.data.manifests import load_manifest_dirs, split_dataset
+from versband_tpu.text.caption_generator import CaptionGenerator2
+
+MIDI_PAD = 128
+BEATS_PAD = 2
+
+
+class JoinManifestSpecs:
+    def __init__(self, split: str, main_spec_dir_path: str,
+                 other_spec_dir_path: str = "", mel_num: int = 80,
+                 mode: str = "pad", spec_crop_len: int = 1248,
+                 pad_value: float = -5.0, drop: float = 0.0,
+                 max_tokens: int = 80000, other_condition: Optional[str] = None,
+                 seed: Optional[int] = None, **kwargs):
+        assert mode in ("pad", "tile")
+        self.split = split
+        self.max_batch_len = spec_crop_len
+        self.min_batch_len = 375
+        self.min_factor = 4
+        self.unit_frames_multiple = 2 * self.min_factor  # 8: latent is T/2, mel mult of 4
+        self.mel_num = mel_num
+        self.collate_mode = mode
+        self.pad_value = pad_value
+        self.drop = drop
+        self.max_tokens = max_tokens
+        self.rng = np.random.default_rng(seed)
+        self.caption_generator = CaptionGenerator2(rng=self.rng)
+
+        self.df_main = load_manifest_dirs(main_spec_dir_path)
+        self.dataset = split_dataset(self.df_main, split, valid_head=300)
+
+        self.midi_dict, self.beats_dict = {}, {}
+        if other_condition:
+            self.midi_dict = np.load(other_condition, allow_pickle=True).item()
+            self.beats_dict = np.load(other_condition.replace("midi", "beats"),
+                                      allow_pickle=True).item()
+
+    def ordered_indices(self):
+        return list(self.dataset[["duration"]].sort_values(by="duration").index)
+
+    def _caption_for(self, data) -> str:
+        caption = prompt = ""
+        if self.rng.uniform() > self.drop:
+            choices = str(data["caption"]).split("<psep>")
+            caption = f"Style: {choices[int(self.rng.integers(len(choices)))]} "
+        if self.rng.uniform() > self.drop:
+            text = self.caption_generator.transcribe(
+                key=data.get("key"),
+                key_conf=float(data.get("key_confidence", 0.0)),
+                avg_pitch=float(data.get("avg_pitch", 0.0)),
+                tempo=float(data.get("tempo", 0.0)),
+                tempo_conf=float(data.get("tempo_confidence", 0.0)),
+                emotion=self._parse_emotion(data.get("emotion")),
+                duration=float(data.get("wav_len", 0.0)))
+            prompt = f"Musical: {text}"
+        return caption + prompt
+
+    @staticmethod
+    def _parse_emotion(raw):
+        if raw is None or (isinstance(raw, float) and np.isnan(raw)):
+            return None
+        if isinstance(raw, (list, tuple)):
+            return list(raw)
+        s = str(raw).strip()
+        if s.startswith("["):  # "'['happy', 'sad']'" — literal list in the tsv
+            import ast
+
+            try:
+                return list(ast.literal_eval(s))
+            except Exception:
+                return None
+        return [s] if s and s != "None" else None
+
+    def _pad_conditions(self, spec_len: int):
+        T = math.ceil(spec_len)
+        acoustic = np.full((20, T), self.pad_value, np.float32)
+        midi = np.full((1, T), MIDI_PAD, np.float32)
+        beats = np.full((1, T), BEATS_PAD, np.float32)
+        return acoustic, midi, beats
+
+    def __getitem__(self, idx: int) -> dict:
+        idx = idx % len(self.dataset)
+        data = self.dataset.iloc[idx]
+        caption = self._caption_for(data)
+
+        start = -1
+        valid_spec = True
+        try:
+            spec = np.load(data["mel_path"]).astype(np.float32)  # [80, T]
+            if spec.shape[1] > self.max_batch_len:
+                start = int(self.rng.integers(spec.shape[1] - self.max_batch_len))
+                spec = spec[:, start: start + self.max_batch_len]
+        except Exception:
+            print(f"corrupted: {data['mel_path']}")
+            spec = np.full((self.mel_num, self.min_batch_len), self.pad_value,
+                           np.float32)
+            start = 0
+            valid_spec = False
+        spec_len = spec.shape[1]
+
+        try:
+            acoustic = np.load(data["vocal_mel_path"])[:20, :].astype(np.float32)
+            midi = np.asarray(self.midi_dict[data["name"]], np.float32)[None]
+            beats = np.asarray(self.beats_dict[data["name"]], np.float32)[None]
+        except Exception:
+            acoustic, midi, beats = self._pad_conditions(spec_len)
+            valid_spec = valid_spec and False
+
+        # CFG dropout of the acoustic conditioning (:167-171)
+        if self.rng.uniform() < self.drop or not valid_spec:
+            acoustic, midi, beats = self._pad_conditions(spec_len)
+
+        # length-consistency guard (:172-176)
+        if abs(acoustic.shape[1] - spec_len) > 5 and valid_spec:
+            print(f"corrupted: {data.get('vocal_mel_path')}")
+            acoustic, midi, beats = self._pad_conditions(spec_len)
+
+        # crop the conditions in sync with the mel crop (:178-190)
+        if acoustic.shape[1] > self.max_batch_len:
+            s = max(min(max(start, 0),
+                        acoustic.shape[1] - self.max_batch_len - 1), 0)
+            acoustic = acoustic[:, s: s + self.max_batch_len]
+            midi = midi[:, s: s + self.max_batch_len]
+            beats = beats[:, s: s + self.max_batch_len]
+
+        # round everything to a multiple of 8 (:192-199)
+        T = int(math.ceil(acoustic.shape[1] / self.unit_frames_multiple)
+                * self.unit_frames_multiple)
+        acoustic = pad_or_cut_xd(acoustic, T, 1, self.pad_value)
+        midi = pad_or_cut_xd(midi, T, 1, MIDI_PAD)
+        beats = pad_or_cut_xd(beats, T, 1, BEATS_PAD)
+        spec = pad_or_cut_xd(spec, T, 1, self.pad_value)
+
+        item = {"image": spec, "acoustic": acoustic, "midi": midi,
+                "beats": beats, "caption": caption, "name": data["name"]}
+        if self.split == "test":
+            item["f_name"] = data["name"]
+        return item
+
+    def collater(self, inputs) -> dict:
+        cols = {k: [item[k] for item in inputs] for k in inputs[0]}
+        kw = dict(min_len=self.min_batch_len, max_len=self.max_batch_len,
+                  min_factor=self.min_factor)
+        out = {
+            "image": collate_1d_or_2d(cols["image"], self.pad_value, **kw),
+            "acoustic": collate_1d_or_2d(cols["acoustic"], self.pad_value, **kw),
+            "midi": collate_1d_or_2d(cols["midi"], MIDI_PAD, **kw).astype(np.int32),
+            "beats": collate_1d_or_2d(cols["beats"], BEATS_PAD, **kw).astype(np.int32),
+        }
+        out["caption"] = {
+            "caption": cols["caption"],
+            "acoustic": {"acoustic": out["acoustic"], "midi": out["midi"],
+                         "beats": out["beats"]},
+            "name": cols["name"],
+        }
+        out["image"] = out["image"]
+        out["name"] = cols["name"]
+        return out
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+
+class JoinSpecsTrain(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("train", **specs_dataset_cfg)
+
+
+class JoinSpecsValidation(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("valid", **specs_dataset_cfg)
+
+
+class JoinSpecsTest(JoinManifestSpecs):
+    def __init__(self, specs_dataset_cfg):
+        super().__init__("test", **specs_dataset_cfg)
