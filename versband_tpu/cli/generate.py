@@ -1,0 +1,263 @@
+"""Inference CLI — the ``scripts/test_final.py`` equivalent.
+
+    python -m versband_tpu.cli.generate --config configs/vocal2music.yaml \
+        --ckpt logs/<run>/checkpoints/last --manifest <dir> \
+        --other_condition <midi.npy> --scales 1-2-3 --save_dir out/
+
+Per manifest item (duration <= 20 s, ``--num_items`` random picks) and per CFG
+scale: frozen-T5 encode cond/uncond, 25-step CFM Euler ODE with batch-doubled
+CFG, VAE decode, HiFi-GAN vocode, -23 LUFS normalization, and
+accomp/song/gt wav outputs plus a ``clap.csv`` manifest for CLAP evaluation
+(``test_final.py:349-465``).
+
+Multi-host fan-out: items are rank-strided (``--rank/--world``) — the
+TPU-native replacement for the reference's per-GPU ``mp.spawn`` + NCCL
+(``test_final.py:467-477``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("versband_tpu generate")
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", default=None, help="CFM (DiT) checkpoint")
+    p.add_argument("--vae_ckpt", default=None,
+                   help="override first-stage checkpoint")
+    p.add_argument("--vocoder_ckpt", default=None)
+    p.add_argument("--manifest", default=None,
+                   help="manifest dir (defaults to config data path)")
+    p.add_argument("--other_condition", default=None, help="midi.npy path")
+    p.add_argument("--save_dir", default="gen_out")
+    p.add_argument("--scales", default="1-2-3")
+    p.add_argument("--ddim_steps", type=int, default=25)
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--num_items", type=int, default=200)
+    p.add_argument("--max_sec", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world", type=int, default=1)
+    p.add_argument("--platform", default=None)
+    return p
+
+
+class InferDataset:
+    """Manifest + midi/beats dicts, filtered to <= max_sec, random subset
+    (``test_final.py:196-340``)."""
+
+    def __init__(self, manifest_dir: str, other_condition: Optional[str],
+                 num_items: int = 200, max_sec: float = 20.0, seed: int = 0,
+                 mel_downsample_rate: int = 2):
+        from versband_tpu.data.manifests import load_manifest_dirs
+        from versband_tpu.text.caption_generator import CaptionGenerator2
+
+        self.rng = np.random.default_rng(seed)
+        self.caption_generator = CaptionGenerator2(rng=self.rng)
+        df = load_manifest_dirs(manifest_dir)
+        if "duration" in df:
+            df = df[df["duration"] <= max_sec]
+        df = df.reset_index(drop=True)
+        if len(df) > num_items:
+            pick = self.rng.choice(len(df), num_items, replace=False)
+            df = df.iloc[sorted(pick)].reset_index(drop=True)
+        self.df = df
+        self.mel_downsample_rate = mel_downsample_rate
+        self.unit_upsample_rate = 1
+        self.midi_dict, self.beats_dict = {}, {}
+        if other_condition:
+            self.midi_dict = np.load(other_condition, allow_pickle=True).item()
+            self.beats_dict = np.load(
+                other_condition.replace("midi", "beats"), allow_pickle=True).item()
+
+    def __len__(self):
+        return len(self.df)
+
+    def __getitem__(self, i: int) -> Dict:
+        from versband_tpu.data.collate import pad_or_cut_xd
+        from versband_tpu.data.vocal2accomp import BEATS_PAD, MIDI_PAD
+
+        data = self.df.iloc[i]
+        acoustic = np.load(data["vocal_mel_path"])[:20, :].astype(np.float32)
+        name = data["name"]
+        T = acoustic.shape[1]
+        midi = np.asarray(self.midi_dict.get(name, np.full(T, MIDI_PAD)),
+                          np.float32)[None]
+        beats = np.asarray(self.beats_dict.get(name, np.full(T, BEATS_PAD)),
+                           np.float32)[None]
+        T8 = int(math.ceil(T / 8) * 8)
+        acoustic = pad_or_cut_xd(acoustic, T8, 1, -5.0)
+        midi = pad_or_cut_xd(midi, T8, 1, MIDI_PAD)
+        beats = pad_or_cut_xd(beats, T8, 1, BEATS_PAD)
+
+        caption = ""
+        if "caption" in data:
+            choices = str(data["caption"]).split("<psep>")
+            caption = f"Style: {choices[int(self.rng.integers(len(choices)))]} "
+        prompt = self.caption_generator.transcribe(
+            key=data.get("key"), key_conf=float(data.get("key_confidence", 0)),
+            avg_pitch=float(data.get("avg_pitch", 0)),
+            tempo=float(data.get("tempo", 0)),
+            tempo_conf=float(data.get("tempo_confidence", 0)),
+            emotion=None, duration=float(data.get("wav_len", 0)))
+        caption = caption + f"Musical: {prompt}"
+        return dict(name=name, caption=caption, acoustic=acoustic, midi=midi,
+                    beats=beats, audio_path=data.get("audio_path", ""))
+
+
+def safe_path(path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def write_wav(path: str, wav: np.ndarray, sr: int = 24000):
+    from scipy.io import wavfile
+
+    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    wavfile.write(safe_path(path), sr, (wav * 32767).astype(np.int16))
+
+
+def main(argv: List[str] = None) -> int:
+    opt = get_parser().parse_args(argv)
+    import jax
+
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from versband_tpu.dsp.loudness import normalize_loudness
+    from versband_tpu.models.cfm import CFMSampler
+    from versband_tpu.utils.config import instantiate_from_config, load_config
+    from versband_tpu.vocoder.hifigan import HifiGAN
+
+    config = load_config(opt.config)
+    model_cfg = config["model"]
+    cfm = instantiate_from_config(model_cfg)
+    sampler = CFMSampler(cfm, num_timesteps=opt.ddim_steps)
+
+    data_params = config["data"]["params"]
+    manifest = opt.manifest or data_params.get("main_spec_dir_path")
+    other_cond = opt.other_condition or data_params.get("other_condition")
+    dataset = InferDataset(manifest, other_cond, opt.num_items, opt.max_sec,
+                           opt.seed)
+    scales = [float(s) for s in str(opt.scales).split("-") if s]
+
+    # --- parameters ------------------------------------------------------
+    item0 = dataset[0]
+    B = opt.n_samples
+    T_mel = item0["acoustic"].shape[1]
+    T_lat = math.ceil(T_mel / 2)
+    key = jax.random.PRNGKey(opt.seed)
+
+    ctx_example = {
+        "caption": jnp.zeros((B, 80, model_cfg["params"]["unet_config"]
+                              ["params"].get("ori_dim", 1024)), jnp.float32),
+        "acoustic": {"midi": jnp.zeros((B, 1, T_mel), jnp.int32),
+                     "beats": jnp.zeros((B, 1, T_mel), jnp.int32)},
+    }
+    from versband_tpu.models.cfm import _cond_to_context
+
+    dit_params = jax.jit(cfm.model.init)(
+        key, jnp.zeros((B, cfm.mel_dim, T_lat)), jnp.zeros((B,)),
+        _cond_to_context(ctx_example))
+    if opt.ckpt:
+        from versband_tpu.train.checkpoints import load_model_checkpoint
+
+        dit_params = load_model_checkpoint(dit_params, opt.ckpt)
+        print(f"Restored DiT from {opt.ckpt}")
+
+    fs_cfg = model_cfg["params"]["first_stage_config"]
+    mel0 = jnp.zeros((B, 80, 16))
+    vae_params = jax.jit(cfm.first_stage.init)(
+        {"params": key, "gaussian": key}, mel0)
+    vae_ckpt = opt.vae_ckpt or (fs_cfg.get("params") or {}).get("ckpt_path")
+    if vae_ckpt and os.path.exists(str(vae_ckpt)):
+        from versband_tpu.train.checkpoints import load_model_checkpoint
+
+        vae_params = load_model_checkpoint(vae_params, str(vae_ckpt))
+        print(f"Restored VAE from {vae_ckpt}")
+
+    vocoder = HifiGAN(opt.vocoder_ckpt)
+    cond_stage = cfm.cond_stage
+
+    @jax.jit
+    def decode(vp, z):
+        return cfm.first_stage.apply(vp, z / cfm.scale_factor, method="decode")
+
+    csv_data = {"audio_path": [], "caption": [], "name": []}
+    items = list(range(len(dataset)))[opt.rank::opt.world]
+    for item_idx, i in enumerate(items):
+        item = dataset[i]
+        acoustic = jnp.asarray(np.stack([item["acoustic"]] * B))
+        midi = jnp.asarray(np.stack([item["midi"]] * B), jnp.int32)
+        beats = jnp.asarray(np.stack([item["beats"]] * B), jnp.int32)
+
+        def learned(caption_text):
+            cond = {"caption": [caption_text] * B,
+                    "acoustic": {"acoustic": acoustic, "midi": midi,
+                                 "beats": beats},
+                    "name": [item["name"]] * B}
+            return (cfm.get_learned_conditioning(None, cond)
+                    if cond_stage is None else cond_stage(cond))
+
+        c = learned(item["caption"])
+        uc = learned("")
+        for scale in scales:
+            key, k = jax.random.split(key)
+            z = sampler.sample_cfg(dit_params, c, scale,
+                                   None if scale == 1.0 else uc, k,
+                                   batch_size=B)
+            mels = np.asarray(decode(vae_params, z))
+            out_dir = os.path.join(opt.save_dir,
+                                   f"cond_gtcodec_accomp_scale_{scale}")
+            for widx, mel in enumerate(mels):
+                wav = vocoder.spec2wav(mel)
+                wav = normalize_loudness(wav, -23.0)
+                path = os.path.join(
+                    out_dir, f"{opt.rank}-{item_idx:04d}[{widx}][accomp].wav")
+                write_wav(path, wav)
+                csv_data["audio_path"].append(path)
+                csv_data["caption"].append(item["caption"])
+                csv_data["name"].append(item["name"])
+                # gt vocal + mixed song when source audio exists
+                if item["audio_path"] and os.path.exists(item["audio_path"]):
+                    from scipy.io import wavfile
+
+                    sr, gt_accomp = wavfile.read(item["audio_path"])
+                    gt_accomp = gt_accomp.astype(np.float32) / 32768.0
+                    vocal_path = item["audio_path"].replace("accomp", "vocal")
+                    if os.path.exists(vocal_path):
+                        _, gt_vocal = wavfile.read(vocal_path)
+                        gt_vocal = normalize_loudness(
+                            gt_vocal.astype(np.float32) / 32768.0, -23.0)
+                        n = min(len(wav), len(gt_vocal))
+                        write_wav(os.path.join(
+                            out_dir,
+                            f"{opt.rank}-{item_idx:04d}[{widx}][gt_vocal].wav"),
+                            gt_vocal[:n])
+                        write_wav(os.path.join(
+                            out_dir,
+                            f"{opt.rank}-{item_idx:04d}[{widx}][song].wav"),
+                            wav[:n] + gt_vocal[:n])
+                    write_wav(os.path.join(
+                        out_dir,
+                        f"{opt.rank}-{item_idx:04d}[{widx}][gt_accomp].wav"),
+                        normalize_loudness(gt_accomp, -23.0))
+        print(f"[{opt.rank}] {item_idx + 1}/{len(items)} {item['name']}")
+
+    csv_path = os.path.join(opt.save_dir, "clap.csv")
+    os.makedirs(opt.save_dir, exist_ok=True)
+    pd.DataFrame.from_dict(csv_data).to_csv(csv_path, sep="\t", index=False)
+    print(f"wrote {csv_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

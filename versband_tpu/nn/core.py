@@ -144,6 +144,10 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     """
     dtype = x.dtype
     T = x.shape[1]
+    if T > cos.shape[0]:
+        raise ValueError(
+            f"sequence length {T} exceeds the RoPE table ({cos.shape[0]}); "
+            "increase the model's max_len")
     xf = x.astype(jnp.float32)
     a = xf[..., 0::2]
     b = xf[..., 1::2]

@@ -1,0 +1,130 @@
+"""VAE GAN loss — the JAX re-design of ``LPAPSWithDiscriminator``
+(``ldm/modules/losses_audio/contperceptual.py:22-149``; shipped config
+``configs/ae_accomp.yaml:24-35``: disc_start 80001, kl 1e-6, disc_weight 0.5,
+disc_factor 2, mse disc loss, r1 weight 3).
+
+Split into pure jit-friendly pieces the train step composes:
+  * ``VAEGANLoss`` (flax module) holds the trainable scalar ``logvar`` and the
+    PatchGAN discriminator; exposes ``nll_kl``, ``gen_logits``, ``disc_logits``
+    methods.
+  * adaptive d_weight ``||grad nll|| / (||grad g|| + 1e-4)`` wrt the decoder's
+    LAST-LAYER kernel — two scoped ``jax.grad`` calls in the train step (the
+    natural JAX form of the reference's ``torch.autograd.grad`` on
+    ``decoder.conv_out``), clamp [0, 1e4], x disc_weight.
+  * R1 penalty = ||d logits_real.sum() / d input||^2 — one ``jax.grad`` wrt
+    the input; no ``create_graph`` double-backward gymnastics.
+  * MSE (LSGAN) / hinge / vanilla discriminator losses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from versband_tpu.vocoder.discriminators import NLayerDiscriminator
+
+Array = jax.Array
+
+
+def adopt_weight(weight: float, global_step, threshold: int = 0,
+                 value: float = 0.0):
+    """weight if step >= threshold else value (``vqperceptual.py`` helper) —
+    jnp.where so it works on traced steps."""
+    return jnp.where(jnp.asarray(global_step) < threshold, value, weight)
+
+
+def hinge_d_loss(logits_real: Array, logits_fake: Array) -> Array:
+    return 0.5 * (jnp.mean(fnn.relu(1.0 - logits_real))
+                  + jnp.mean(fnn.relu(1.0 + logits_fake)))
+
+
+def vanilla_d_loss(logits_real: Array, logits_fake: Array) -> Array:
+    return 0.5 * (jnp.mean(fnn.softplus(-logits_real))
+                  + jnp.mean(fnn.softplus(logits_fake)))
+
+
+def mse_d_loss(logits_real: Array, logits_fake: Array) -> Array:
+    """0.5 * (mean((1-real)^2) + mean(fake^2)) (``contperceptual.py:9-21``)."""
+    return 0.5 * (jnp.mean((1.0 - logits_real) ** 2)
+                  + jnp.mean(logits_fake ** 2))
+
+
+_D_LOSSES = {"hinge": hinge_d_loss, "vanilla": vanilla_d_loss,
+             "mse": mse_d_loss}
+
+
+class VAEGANLoss(fnn.Module):
+    """Trainable pieces (logvar + discriminator) plus loss arithmetic."""
+
+    disc_start: int = 80001
+    logvar_init: float = 0.0
+    kl_weight: float = 1e-6
+    pixelloss_weight: float = 1.0
+    disc_num_layers: int = 3
+    disc_in_channels: int = 1
+    disc_hidden_size: int = 64
+    disc_factor: float = 2.0
+    disc_weight: float = 0.5
+    perceptual_weight: float = 0.0
+    use_actnorm: bool = False
+    disc_conditional: bool = False
+    disc_loss: str = "mse"
+    r1_reg_weight: float = 3.0
+
+    def setup(self):
+        assert self.perceptual_weight == 0.0, "don't use perceptual loss"
+        assert self.disc_loss in _D_LOSSES
+        self.logvar = self.param("logvar", fnn.initializers.constant(
+            self.logvar_init), ())
+        self.discriminator = NLayerDiscriminator(
+            input_nc=self.disc_in_channels, ndf=self.disc_hidden_size,
+            n_layers=self.disc_num_layers, use_actnorm=self.use_actnorm,
+            name="discriminator")
+
+    # mels come as [B, 80, T]; the PatchGAN sees them as 1-channel images
+    @staticmethod
+    def _as_image(x: Array) -> Array:
+        return x[:, None, :, :] if x.ndim == 3 else x
+
+    def nll_kl(self, inputs: Array, reconstructions: Array, posterior,
+               weights: Optional[Array] = None) -> Dict[str, Array]:
+        rec_loss = jnp.abs(self._as_image(inputs)
+                           - self._as_image(reconstructions))
+        nll = rec_loss / jnp.exp(self.logvar) + self.logvar
+        weighted_nll = nll if weights is None else weights * nll
+        B = inputs.shape[0]
+        return {
+            "rec_loss": rec_loss.mean(),
+            "nll_loss": nll.sum() / B,
+            "weighted_nll_loss": weighted_nll.sum() / B,
+            "kl_loss": posterior.kl().sum() / B,
+            "logvar": self.logvar,
+        }
+
+    def disc_forward(self, x: Array, cond: Optional[Array] = None,
+                     train: bool = False) -> Array:
+        h = self._as_image(x)
+        if cond is not None:
+            assert self.disc_conditional
+            h = jnp.concatenate([h, self._as_image(cond)], axis=1)
+        else:
+            assert not self.disc_conditional or cond is not None
+        return self.discriminator(h, train=train)
+
+    def g_loss(self, reconstructions: Array, cond: Optional[Array] = None,
+               train: bool = False) -> Array:
+        """Generator adversarial term: -mean(D(recon)) (``:100-107``)."""
+        return -jnp.mean(self.disc_forward(reconstructions, cond, train))
+
+    def d_loss(self, logits_real: Array, logits_fake: Array) -> Array:
+        return _D_LOSSES[self.disc_loss](logits_real, logits_fake)
+
+
+def adaptive_d_weight(nll_grad_norm: Array, g_grad_norm: Array,
+                      disc_weight: float) -> Array:
+    d_weight = nll_grad_norm / (g_grad_norm + 1e-4)
+    return jax.lax.stop_gradient(
+        jnp.clip(d_weight, 0.0, 1e4)) * disc_weight

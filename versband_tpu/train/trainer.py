@@ -1,0 +1,347 @@
+"""Training loops — the TPU-native replacement for the Lightning harness.
+
+``VAETrainer`` runs the dual-optimizer VAE-GAN (stage 1,
+``configs/ae_accomp.yaml``); ``CFMTrainer`` runs flow-matching over frozen-VAE
+latents (stage 2, ``configs/vocal2music.yaml``) with host-side frozen-T5
+caption encoding, ``scale_by_std`` latent rescaling from the first batch
+(``ddpm_audio.py:89-104``), optional EMA validation weights
+(``ddpm.py:357-364``), monitored/last/exception checkpoints and
+TensorBoard metrics (``main.py:705-790``, ``ddpm.py:341-364``).
+
+TPU specifics:
+  * batches are padded up to time-bucket multiples (default 128 frames) so
+    XLA compiles a bounded set of shapes across the length-bucketed loader;
+  * the train step is a single jitted function (optionally pjit over a mesh
+    via versband_tpu.train.step.shard_train_step);
+  * all host->device transfer happens in one ``device_put`` per batch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import signal
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versband_tpu.data.collate import pad_or_cut_xd
+from versband_tpu.train.callbacks import Callback
+from versband_tpu.train.checkpoints import CheckpointManager
+from versband_tpu.train.state import TrainState
+
+MIDI_PAD, BEATS_PAD = 128, 2
+
+
+def pad_batch_time(batch: Dict[str, np.ndarray], multiple: int = 128,
+                   pad_value: float = -5.0) -> Dict[str, np.ndarray]:
+    """Pad every [B, C, T] array to the next T multiple — bounds the number of
+    compiled shapes over the bucketed loader."""
+    out = dict(batch)
+    for key, pad in (("image", pad_value), ("acoustic", pad_value),
+                     ("midi", MIDI_PAD), ("beats", BEATS_PAD)):
+        if key in out and hasattr(out[key], "ndim") and out[key].ndim == 3:
+            T = out[key].shape[2]
+            target = math.ceil(T / multiple) * multiple
+            out[key] = pad_or_cut_xd(out[key], target, 2, pad)
+    return out
+
+
+class BaseTrainer:
+    def __init__(self, logdir: str, max_steps: int = 10 ** 9,
+                 max_epochs: int = 10 ** 6, val_every_n_epochs: int = 1,
+                 log_every_n_steps: int = 50, callbacks: Optional[List[Callback]] = None,
+                 ckpt: Optional[CheckpointManager] = None, seed: int = 0,
+                 time_bucket: int = 128, use_tensorboard: bool = True):
+        self.logdir = logdir
+        self.max_steps = max_steps
+        self.max_epochs = max_epochs
+        self.val_every_n_epochs = val_every_n_epochs
+        self.log_every_n_steps = log_every_n_steps
+        self.callbacks = callbacks or []
+        self.ckpt = ckpt or CheckpointManager(os.path.join(logdir, "checkpoints"))
+        self.key = jax.random.PRNGKey(seed)
+        self.time_bucket = time_bucket
+        self.global_step = 0
+        self.writer = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(logdir, "tb"))
+            except Exception:
+                self.writer = None
+        self._sig_save = False
+        try:
+            signal.signal(signal.SIGUSR1, self._on_sigusr1)
+        except (ValueError, OSError):
+            pass  # non-main thread
+
+    def _on_sigusr1(self, *_):
+        # SIGUSR1 -> checkpoint at the next batch boundary (main.py:835-852)
+        self._sig_save = True
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int, prefix: str = ""):
+        if step % self.log_every_n_steps and not prefix.startswith("val"):
+            return
+        scal = {f"{prefix}{k}": float(np.asarray(v)) for k, v in metrics.items()
+                if np.ndim(v) == 0}
+        if self.writer is not None:
+            for k, v in scal.items():
+                self.writer.add_scalar(k, v, step)
+        if prefix.startswith("val") or step % (self.log_every_n_steps * 10) == 0:
+            pretty = ", ".join(f"{k}={v:.4f}" for k, v in list(scal.items())[:6])
+            print(f"[step {step}] {pretty}")
+
+    def save_checkpoint(self, name: str):
+        raise NotImplementedError
+
+    def _dispatch(self, fn_name: str, *args):
+        for cb in self.callbacks:
+            getattr(cb, fn_name)(self, *args)
+
+
+class VAETrainer(BaseTrainer):
+    """Stage-1 trainer (``AutoencoderKL.training_step`` semantics)."""
+
+    def __init__(self, vae, loss, learning_rate: float, **kw):
+        super().__init__(**kw)
+        from versband_tpu.train.state import make_adam
+        from versband_tpu.train.vae_step import (
+            make_vae_train_step, make_vae_eval_step)
+
+        self.vae = vae
+        self.loss = loss
+        self.lr = learning_rate
+        self.tx = make_adam(learning_rate, betas=(0.5, 0.9))
+        self.train_step = jax.jit(make_vae_train_step(vae, loss))
+        self.eval_step = jax.jit(make_vae_eval_step(vae, loss))
+        self.gen_state: Optional[TrainState] = None
+        self.disc_state: Optional[TrainState] = None
+
+    def init_states(self, example_batch: Dict[str, np.ndarray]):
+        mel = jnp.asarray(example_batch["image"])
+        k1, k2, k3 = jax.random.split(self.key, 3)
+        vae_params = jax.jit(self.vae.init)(
+            {"params": k1, "gaussian": k2}, mel)
+        loss_params = self.loss.init(k3, mel, method="disc_forward")
+        self.gen_state = TrainState.create(vae_params, self.tx)
+        self.disc_state = TrainState.create(loss_params, self.tx)
+
+    def save_checkpoint(self, name: str):
+        state = {"gen": self.gen_state, "disc": self.disc_state}
+        self.ckpt.save_last(state, self.global_step)
+
+    def fit(self, datamodule, resume: bool = False):
+        self._dispatch("on_fit_start")
+        train_loader = datamodule.train_dataloader()
+        try:
+            val_loader = datamodule.val_dataloader()
+        except Exception:
+            val_loader = None
+        try:
+            for epoch in range(self.max_epochs):
+                self._dispatch("on_epoch_start", epoch)
+                for batch in train_loader:
+                    batch = pad_batch_time(batch, self.time_bucket)
+                    if self.gen_state is None:
+                        self.init_states(batch)
+                        if resume:
+                            restored = self.ckpt.restore_last(
+                                {"gen": self.gen_state, "disc": self.disc_state})
+                            if restored is not None:
+                                self.gen_state = restored["gen"]
+                                self.disc_state = restored["disc"]
+                                self.global_step = self.ckpt.last_step()
+                                print(f"Resumed at step {self.global_step}")
+                    self.key, k = jax.random.split(self.key)
+                    self.gen_state, self.disc_state, metrics = self.train_step(
+                        self.gen_state, self.disc_state,
+                        {"image": jnp.asarray(batch["image"])}, k)
+                    self.global_step = int(self.gen_state.step)
+                    self.log_metrics(metrics, self.global_step, "train/")
+                    self._dispatch("on_train_batch_end", batch, metrics,
+                                   self.global_step)
+                    if self._sig_save:
+                        self.save_checkpoint("last")
+                        self._sig_save = False
+                    if self.global_step >= self.max_steps:
+                        break
+                self._dispatch("on_epoch_end", epoch)
+                if val_loader and epoch % self.val_every_n_epochs == 0:
+                    vals = []
+                    for vb in val_loader:
+                        vb = pad_batch_time(vb, self.time_bucket)
+                        self.key, k = jax.random.split(self.key)
+                        vals.append(self.eval_step(
+                            self.gen_state.params, self.disc_state.params,
+                            {"image": jnp.asarray(vb["image"])}, k))
+                    agg = {k: float(np.mean([np.asarray(v[k]) for v in vals]))
+                           for k in vals[0]} if vals else {}
+                    self.log_metrics(agg, self.global_step, "")
+                    self.ckpt.save_monitored(
+                        {"gen": self.gen_state, "disc": self.disc_state},
+                        self.global_step, agg)
+                self.save_checkpoint("last")
+                if self.global_step >= self.max_steps:
+                    break
+        except KeyboardInterrupt:
+            self._dispatch("on_exception")
+            raise
+
+    def log_images(self, batch) -> Dict[str, np.ndarray]:
+        """inputs / reconstructions / prior samples (``autoencoder1d.py:
+        155-162``)."""
+        if self.gen_state is None:
+            return {}
+        mel = jnp.asarray(batch["image"])
+        self.key, k = jax.random.split(self.key)
+        recon, post = self.vae.apply(self.gen_state.params, mel,
+                                     rngs={"gaussian": k})
+        z = jax.random.normal(k, post.mode().shape)
+        samples = self.vae.apply(self.gen_state.params, z, method="decode")
+        return {"inputs": np.asarray(mel), "reconstructions": np.asarray(recon),
+                "samples": np.asarray(samples)}
+
+
+class CFMTrainer(BaseTrainer):
+    """Stage-2 trainer: CFM loss over frozen-VAE latents with text/midi/beats
+    conditioning (``ddpm_audio.py:418-441``, ``cfm1_audio.py:38-63``)."""
+
+    def __init__(self, cfm, vae_params, cond_stage, learning_rate: float,
+                 grad_clip: float = 1.0, use_ema: bool = False,
+                 scheduler=None, **kw):
+        super().__init__(**kw)
+        from versband_tpu.train.state import make_adamw
+        from versband_tpu.train.step import make_cfm_train_step
+
+        self.cfm = cfm
+        self.vae_params = vae_params
+        self.cond_stage = cond_stage
+        lr = learning_rate if scheduler is None else (
+            lambda step: learning_rate * scheduler(step))
+        self.tx = make_adamw(lr, grad_clip=grad_clip)
+        self.use_ema = use_ema
+        self.train_step = jax.jit(make_cfm_train_step(cfm, vae_params))
+        self.state: Optional[TrainState] = None
+
+    def _encode_captions(self, batch) -> np.ndarray:
+        captions = batch["caption"]["caption"]
+        if self.cond_stage is None:  # pre-encoded or test mode
+            return np.asarray(captions)
+        return np.asarray(self.cond_stage({"caption": captions,
+                                           "acoustic": {}})["caption"])
+
+    def _device_batch(self, batch) -> Dict[str, Any]:
+        return {
+            "image": jnp.asarray(batch["image"]),
+            "caption": jnp.asarray(self._encode_captions(batch)),
+            "midi": jnp.asarray(batch["caption"]["acoustic"]["midi"]),
+            "beats": jnp.asarray(batch["caption"]["acoustic"]["beats"]),
+        }
+
+    def init_state(self, example_batch: Dict[str, Any]):
+        db = self._device_batch(example_batch)
+        B, _, T = db["image"].shape
+        # downsample factor from the VAE config (setup() attrs aren't visible
+        # outside apply on flax modules)
+        down_layers = (self.cfm.first_stage.ddconfig or {}).get("down_layers", (0,))
+        T_lat = T // (2 ** len(down_layers))
+        x = jnp.zeros((B, self.cfm.mel_dim, T_lat))
+        t = jnp.zeros((B,), jnp.int32)
+        from versband_tpu.models.cfm import _cond_to_context
+
+        ctx = _cond_to_context({"caption": db["caption"],
+                                "acoustic": {"midi": db["midi"],
+                                             "beats": db["beats"]}})
+        k1, k2 = jax.random.split(self.key)
+        params = jax.jit(lambda: self.cfm.model.init(
+            {"params": k1, "gumbel": k2}, x, t, ctx, train=True))()
+        self.state = TrainState.create(
+            params, self.tx, ema_decay=0.9999 if self.use_ema else None)
+
+        # scale_by_std from the first batch (ddpm_audio.py:89-104)
+        if self.cfm.scale_by_std and self.cfm.scale_factor == 1.0:
+            self.cfm.compute_scale_factor(self.vae_params, db["image"], k2)
+            print(f"setting scale_factor to {self.cfm.scale_factor:.5f}")
+
+    def save_checkpoint(self, name: str):
+        self.ckpt.save_last(self.state, self.global_step)
+
+    def fit(self, datamodule, resume: bool = False):
+        self._dispatch("on_fit_start")
+        train_loader = datamodule.train_dataloader()
+        try:
+            val_loader = datamodule.val_dataloader()
+        except Exception:
+            val_loader = None
+        try:
+            for epoch in range(self.max_epochs):
+                self._dispatch("on_epoch_start", epoch)
+                for batch in train_loader:
+                    batch = pad_batch_time(
+                        {**batch, "midi": batch["caption"]["acoustic"]["midi"],
+                         "beats": batch["caption"]["acoustic"]["beats"]},
+                        self.time_bucket) | {"caption": batch["caption"]}
+                    batch["caption"]["acoustic"]["midi"] = batch["midi"]
+                    batch["caption"]["acoustic"]["beats"] = batch["beats"]
+                    if self.state is None:
+                        self.init_state(batch)
+                        if resume:
+                            restored = self.ckpt.restore_last(self.state)
+                            if restored is not None:
+                                self.state = restored
+                                self.global_step = self.ckpt.last_step()
+                                print(f"Resumed at step {self.global_step}")
+                    db = self._device_batch(batch)
+                    self.key, k = jax.random.split(self.key)
+                    self.state, metrics = self.train_step(self.state, db, k)
+                    self.global_step = int(self.state.step)
+                    self.log_metrics(metrics, self.global_step, "train/")
+                    self._dispatch("on_train_batch_end", batch, metrics,
+                                   self.global_step)
+                    if self._sig_save:
+                        self.save_checkpoint("last")
+                        self._sig_save = False
+                    if self.global_step >= self.max_steps:
+                        break
+                self._dispatch("on_epoch_end", epoch)
+                if val_loader and epoch % self.val_every_n_epochs == 0:
+                    self._validate(val_loader)
+                self.save_checkpoint("last")
+                self.ckpt.save_step_archive(self.state, self.global_step)
+                if self.global_step >= self.max_steps:
+                    break
+        except KeyboardInterrupt:
+            self._dispatch("on_exception")
+            raise
+
+    def _validate(self, val_loader):
+        """val with EMA shadow weights when enabled (``ddpm.py:357-364``)."""
+        params = (self.state.ema.shadow
+                  if (self.use_ema and self.state.ema is not None)
+                  else self.state.params)
+        losses = []
+        for vb in val_loader:
+            vb = pad_batch_time(
+                {**vb, "midi": vb["caption"]["acoustic"]["midi"],
+                 "beats": vb["caption"]["acoustic"]["beats"]},
+                self.time_bucket) | {"caption": vb["caption"]}
+            vb["caption"]["acoustic"]["midi"] = vb["midi"]
+            vb["caption"]["acoustic"]["beats"] = vb["beats"]
+            db = self._device_batch(vb)
+            self.key, k = jax.random.split(self.key)
+            k1, k2 = jax.random.split(k)
+            z = self.cfm.encode_first_stage(self.vae_params, db["image"], k1)
+            cond = {"caption": db["caption"],
+                    "acoustic": {"midi": db["midi"], "beats": db["beats"]}}
+            loss, parts = self.cfm.training_losses(params, z, cond, k2,
+                                                   step=self.state.step)
+            losses.append(float(loss))
+        suffix = "_ema" if self.use_ema else ""
+        agg = {f"val/loss_simple{suffix}": float(np.mean(losses))}
+        self.log_metrics(agg, self.global_step, "")
+        self.ckpt.save_monitored(self.state, self.global_step, agg)
