@@ -1,0 +1,299 @@
+"""Torch -> JAX checkpoint converter.
+
+Converts reference PyTorch checkpoints (Lightning ``.ckpt`` / plain
+state-dict ``.pt``) into the flax param trees this framework consumes —
+required for every weight-parity claim (SURVEY.md §7.2 step 3).
+
+Tensor layout rules (torch -> flax):
+  * Conv1d          weight [O, I, K]    -> kernel [K, I, O]
+  * Conv2d          weight [O, I, H, W] -> kernel [H, W, I, O]
+  * ConvTranspose1d weight [I, O, K]    -> kernel [K, I, O]
+  * Linear          weight [O, I]       -> kernel [I, O]
+  * Embedding       weight              -> embedding (as is)
+  * Group/LayerNorm weight/bias         -> scale/bias
+  * weight-norm (weight_g [O,1,..], weight_v like conv) -> kernel_g [O],
+    kernel_v (conv layout)
+
+Name maps are per model family (``FAMILY_RULES``): ordered regex rewrites from
+the reference's module paths to this framework's flax paths. Band-MOE DiT
+conversion additionally STACKS the reference's per-expert ModuleDict weights
+(``caption_experts.{i}.w{n}``) into the stacked ``[E, d, h]`` tensors the TPU
+einsum experts use (models/dit.py).
+
+T5/BERT towers need no rules here — load them with transformers'
+``from_pretrained(..., from_pt=True)``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from versband_tpu.utils.checkpoint import save_npz_params, unflatten_params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model", "generator", "model_gen"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: np.asarray(v.detach().float().numpy()) if hasattr(v, "detach")
+            else np.asarray(v) for k, v in obj.items()}
+
+
+# --- layout converters -----------------------------------------------------
+
+def conv1d_w(w):  # [O, I, K] -> [K, I, O]
+    return np.transpose(w, (2, 1, 0))
+
+
+def conv2d_w(w):  # [O, I, H, W] -> [H, W, I, O]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convT1d_w(w):  # [I, O, K] -> [K, I, O]
+    return np.transpose(w, (2, 0, 1))
+
+
+def linear_w(w):  # [O, I] -> [I, O]
+    return np.transpose(w)
+
+
+def identity(w):
+    return w
+
+
+# --- family rules ------------------------------------------------------------
+# (regex, replacement, layout) applied to each torch key; first match wins.
+# layout: one of the converters above, or 'auto' (rank-based conv/linear), or
+# 'convT' for transposed convs.
+
+Rule = Tuple[str, str, Any]
+
+_VAE_BLOCK = [
+    (r"norm(\d|_out|)\.weight$", lambda m: None, None),  # handled generically
+]
+
+
+def _auto_layout(key: str, w: np.ndarray, transposed: bool = False):
+    if key.endswith(("scale", "bias", "embedding", "kernel_g", "logvar", "loc")):
+        return w
+    if key.endswith("kernel") or key.endswith("kernel_v"):
+        if w.ndim == 3:
+            return convT1d_w(w) if transposed else conv1d_w(w)
+        if w.ndim == 4:
+            return conv2d_w(w)
+        if w.ndim == 2:
+            return linear_w(w)
+    return w
+
+
+def _rename(key: str, rules: List[Rule]) -> Optional[Tuple[str, bool]]:
+    """Returns (flax path, is_transposed_conv) or None to drop."""
+    for pattern, repl, flag in rules:
+        if re.match(pattern, key):
+            if repl is None:
+                return None
+            new = re.sub(pattern, repl, key)
+            return new, flag == "convT"
+    # default: dots -> slashes, weight->kernel / norm weight->scale
+    return None
+
+
+def _std_suffix(key: str) -> str:
+    """Rewrite trailing torch param names to flax conventions (works whether
+    the path separator is still '.' or already '/')."""
+    key = re.sub(r"[./]weight_g$", "/kernel_g", key)
+    key = re.sub(r"[./]weight_v$", "/kernel_v", key)
+    key = re.sub(r"[./]weight$", "/kernel", key)
+    key = re.sub(r"[./]bias$", "/bias", key)
+    return key.replace(".", "/")
+
+
+VAE_RULES: List[Rule] = [
+    # norms: GroupNorm weight -> scale
+    (r"(encoder|decoder)\.(down|up)\.(\d+)\.(block|attn)\.(\d+)\.(norm\d?|norm)\.weight$",
+     r"\1/\2_\3_\4_\5/\6/scale", None),
+    (r"(encoder|decoder)\.(down|up)\.(\d+)\.(block|attn)\.(\d+)\.(norm\d?|norm)\.bias$",
+     r"\1/\2_\3_\4_\5/\6/bias", None),
+    (r"(encoder|decoder)\.(down|up)\.(\d+)\.(block|attn)\.(\d+)\.(.+)$",
+     r"\1/\2_\3_\4_\5/\6", None),
+    (r"(encoder|decoder)\.(down)\.(\d+)\.downsample\.(.+)$",
+     r"\1/down_\3_downsample/\4", None),
+    (r"(encoder|decoder)\.(up)\.(\d+)\.upsample\.(.+)$",
+     r"\1/up_\3_upsample/\4", None),
+    (r"(encoder|decoder)\.mid\.(block_\d|attn_\d)\.(norm\d?|norm)\.weight$",
+     r"\1/mid_\2/\3/scale", None),
+    (r"(encoder|decoder)\.mid\.(block_\d|attn_\d)\.(norm\d?|norm)\.bias$",
+     r"\1/mid_\2/\3/bias", None),
+    (r"(encoder|decoder)\.mid\.(block_\d|attn_\d)\.(.+)$",
+     r"\1/mid_\2/\3", None),
+    (r"(encoder|decoder)\.norm_out\.weight$", r"\1/norm_out/scale", None),
+    (r"(encoder|decoder)\.norm_out\.bias$", r"\1/norm_out/bias", None),
+    (r"(encoder|decoder)\.(.+)$", r"\1/\2", None),
+    (r"(quant_conv|post_quant_conv)\.(.+)$", r"\1/\2", None),
+    (r"loss\..*$", None, None),  # loss module converted separately if needed
+]
+
+HIFIGAN_RULES: List[Rule] = [
+    (r"conv_pre\.(.+)$", r"conv_pre/\1", None),
+    (r"conv_post\.(.+)$", r"conv_post/\1", None),
+    (r"ups\.(\d+)\.(.+)$", r"ups_\1/\2", "convT"),
+    # resblocks.{i*num_kernels+j} -> resblocks_{i}_{j} needs num_kernels; the
+    # flat index is kept here and re-split in convert_state_dict via context.
+    (r"resblocks\.(\d+)\.convs1\.(\d+)\.(.+)$", r"resblocks@\1/convs1_\2/\3", None),
+    (r"resblocks\.(\d+)\.convs2\.(\d+)\.(.+)$", r"resblocks@\1/convs2_\2/\3", None),
+    (r"resblocks\.(\d+)\.convs\.(\d+)\.(.+)$", r"resblocks@\1/convs_\2/\3", None),
+    # BigVGAN AMP activations
+    (r"resblocks\.(\d+)\.activations\.(\d+)\.act\.(alpha|beta)$",
+     r"resblocks@\1/ACT_\2/\3", None),
+    (r"activation_post\.act\.(alpha|beta)$", r"activation_post/\1", None),
+]
+
+DIT_RULES: List[Rule] = [
+    (r"midi_embedding\.weight$", "midi_embedding/embedding", None),
+    (r"beats_embedding\.weight$", "beats_embedding/embedding", None),
+    (r"(midi|beats)_proj\.0\.(.+)$", r"\1_proj/conv/\2", None),
+    (r"final_proj\.(.+)$", r"final_proj/\1", None),
+    (r"proj_in\.(.+)$", r"proj_in/\1", None),
+    (r"t_embedder\.mlp\.0\.(.+)$", r"t_embedder/fc1/\1", None),
+    (r"t_embedder\.mlp\.2\.(.+)$", r"t_embedder/fc2/\1", None),
+    (r"c_embedder\.mlp\.0\.(.+)$", r"c_embedder/fc1/\1", None),
+    (r"c_embedder\.mlp\.2\.(.+)$", r"c_embedder/fc2/\1", None),
+    (r"c_embedder\.norm\.weight$", "c_embedder/ln/scale", None),
+    (r"c_embedder\.norm\.bias$", "c_embedder/ln/bias", None),
+    (r"cap_embedder\.0\.weight$", "cap_embedder_norm/scale", None),
+    (r"cap_embedder\.0\.bias$", "cap_embedder_norm/bias", None),
+    (r"cap_embedder\.1\.(.+)$", r"cap_embedder/\1", None),
+    (r"layers\.(\d+)\.attention\.(wq|wk|wv|wo|wk_y|wv_y)\.(.+)$",
+     r"blocks_\1/attention/\2/\3", None),
+    (r"layers\.(\d+)\.attention\.gate$", r"blocks_\1/attention/gate", None),
+    (r"layers\.(\d+)\.attention_norm\.weight$",
+     r"blocks_\1/attention_norm/weight", None),
+    (r"layers\.(\d+)\.attention_y_norm\.weight$",
+     r"blocks_\1/attention_y_norm/weight", None),
+    (r"layers\.(\d+)\.ffn_norm\.weight$", r"blocks_\1/ffn_norm/weight", None),
+    (r"layers\.(\d+)\.adaLN_modulation\.1\.(.+)$",
+     r"blocks_\1/adaLN_modulation/\2", None),
+    # Band-MOE internals (experts handled by the stacker below)
+    (r"layers\.(\d+)\.feed_forward\.(caption|acoustic|freq)_experts\.(\d+)\.(w\d)\.weight$",
+     r"blocks_\1/feed_forward/\2_experts@\3/\4", None),
+    (r"layers\.(\d+)\.feed_forward\.caption_gating_network\.(.+)$",
+     r"blocks_\1/feed_forward/caption_gate/\2", None),
+    (r"layers\.(\d+)\.feed_forward\.acoustic_gating_network\.(.+)$",
+     r"blocks_\1/feed_forward/acoustic_gate/\2", None),
+    (r"layers\.(\d+)\.feed_forward\.gating_network\.(.+)$",
+     r"blocks_\1/feed_forward/high_level_gate/\2", None),
+    (r"layers\.(\d+)\.feed_forward\.cross_attention\.(.+)$",
+     r"blocks_\1/feed_forward/cross_attention/\2", None),
+    (r"final_layer\.adaLN_modulation\.1\.(.+)$",
+     r"final_layer/adaLN_modulation/\1", None),
+    (r"final_layer\.linear\.(.+)$", r"final_layer/linear/\1", None),
+    (r"freqs_cis$", None, None),  # recomputed
+]
+
+FAMILY_RULES = {"vae": VAE_RULES, "hifigan": HIFIGAN_RULES,
+                "bigvgan": HIFIGAN_RULES, "dit": DIT_RULES}
+
+
+def fold_torch_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Collapse torch (weight_g, weight_v) pairs into plain weights.
+
+    Torch weight_norm groups over dim 0 (which is IN-channels for
+    ConvTranspose1d) — folding at conversion time sidesteps the grouping
+    mismatch with this framework's per-output-channel split; inference paths
+    fold anyway (``remove_weight_norm`` in the reference)."""
+    out = {}
+    for key, w in sd.items():
+        if key.endswith("weight_v"):
+            base = key[: -len("weight_v")]
+            g = sd[base + "weight_g"]
+            axes = tuple(range(1, w.ndim))
+            norm = np.sqrt((w ** 2).sum(axis=axes, keepdims=True) + 1e-12)
+            out[base + "weight"] = (w / norm * g).astype(w.dtype)
+        elif key.endswith("weight_g"):
+            continue
+        else:
+            out[key] = w
+    return out
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
+                       num_resblock_kernels: int = 3) -> Dict[str, Any]:
+    """Convert a torch state dict to a flax {'params': ...} tree (weight norm
+    folded)."""
+    sd = fold_torch_weight_norm(sd)
+    rules = FAMILY_RULES[family]
+    flat: Dict[str, np.ndarray] = {}
+    experts: Dict[str, Dict[int, np.ndarray]] = {}
+    for key, w in sd.items():
+        hit = _rename(key, rules)
+        if hit is None:
+            std = _std_suffix(key)
+            # unmatched keys pass through with standard suffix rewrites
+            if any(re.match(p, key) and r is None for p, r, _ in rules):
+                continue
+            flat[std] = _auto_layout(std, w)
+            continue
+        new, transposed = hit
+        new = _std_suffix(new)
+        if "@" in new:
+            if "resblocks@" in new:
+                # flat index i*num_kernels + j -> resblocks_{i}_{j}
+                m = re.match(r"(.*)resblocks@(\d+)/(.+)", new)
+                idx = int(m.group(2))
+                i, j = divmod(idx, num_resblock_kernels)
+                new = f"{m.group(1)}resblocks_{i}_{j}/{m.group(3)}"
+                if "/ACT_" in new:
+                    # Activation1d index within AMPBlock: acts1_{k}/acts2_{k}
+                    m2 = re.match(r"(.*)/ACT_(\d+)/(alpha|beta)", new)
+                    a_idx = int(m2.group(2))
+                    k, which = divmod(a_idx, 2)
+                    name = f"acts1_{k}" if which == 0 else f"acts2_{k}"
+                    new = f"{m2.group(1)}/{name}/{m2.group(3)}"
+                flat[new] = _auto_layout(new, w, transposed)
+                continue
+            m = re.match(r"(.+_experts)@(\d+)/(w\d)", new)
+            if m:
+                stack_key = f"{m.group(1)}/{m.group(3)}"
+                experts.setdefault(stack_key, {})[int(m.group(2))] = linear_w(w)
+                continue
+        flat[new] = _auto_layout(new, w, transposed)
+
+    for stack_key, parts in experts.items():
+        order = sorted(parts)
+        flat[stack_key] = np.stack([parts[i] for i in order])  # [E, in, out]
+
+    return {"params": unflatten_params(flat)}
+
+
+def convert_checkpoint(torch_path: str, out_path: str, family: str,
+                       **kw) -> None:
+    sd = load_torch_state_dict(torch_path)
+    tree = convert_state_dict(sd, family, **kw)
+    save_npz_params(out_path, tree)
+    print(f"converted {len(sd)} tensors -> {out_path}")
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser("torch->jax checkpoint converter")
+    p.add_argument("torch_ckpt")
+    p.add_argument("out_npz")
+    p.add_argument("--family", required=True, choices=sorted(FAMILY_RULES))
+    p.add_argument("--num_resblock_kernels", type=int, default=3)
+    a = p.parse_args(argv)
+    convert_checkpoint(a.torch_ckpt, a.out_npz, a.family,
+                       num_resblock_kernels=a.num_resblock_kernels)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
