@@ -52,7 +52,7 @@ TARGET_ALIASES = {
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeImprovedDiTV2": "versband_tpu.models.dit.BandMoeDiT",
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeDiT": "versband_tpu.models.dit.BandMoeDiT",
     "ldm.modules.diffusionmodules.flag_large_dit_moe.VideoFlagLargeDiT": "versband_tpu.models.dit_timefreq.TimeFreqMoeDiT",
-    "ldm.modules.diffusionmodules.concatDiT.ConcatDiT2MLP": "versband_tpu.models.concat_dit.ConcatDiT",
+    "ldm.modules.diffusionmodules.concatDiT.ConcatDiT2MLP": "versband_tpu.models.concat_dit.ConcatDiT2MLP",
     "ldm.modules.encoders.modules.FrozenTextVocalEmbedder": "versband_tpu.text.embedders.TextVocalEmbedder",
     "ldm.modules.encoders.modules.FrozenTextVocalMusicalEmbedder": "versband_tpu.text.embedders.TextVocalMusicalEmbedder",
     "ldm.modules.encoders.modules.FrozenFLANEmbedder": "versband_tpu.text.embedders.FlanT5Embedder",
@@ -61,7 +61,17 @@ TARGET_ALIASES = {
     "ldm.modules.losses_audio.contperceptual.LPAPSWithDiscriminator": "versband_tpu.train.gan_losses.VAEGANLoss",
     "torch.nn.Identity": "versband_tpu.utils.config.Identity",
     "vocoder.hifigan.hifigan.HifiGAN": "versband_tpu.vocoder.hifigan.HifiGAN",
+    "vocoder.hifigan.hifigan_nsf.HifiGAN_NSF": "versband_tpu.vocoder.nsf.HifiGAN_NSF",
     "vocoder.bigvgan.models.VocoderBigVGAN": "versband_tpu.vocoder.bigvgan.VocoderBigVGAN",
+    "ldm.models.autoencoder.AutoencoderKL": "versband_tpu.models.autoencoder2d.AutoencoderKL2D",
+    "ldm.models.autoencoder.VQModel": "versband_tpu.models.autoencoder2d.VQModel",
+    "ldm.models.autoencoder.VQModelInterface": "versband_tpu.models.autoencoder2d.VQModelInterface",
+    "ldm.models.autoencoder.IdentityFirstStage": "versband_tpu.models.autoencoder2d.IdentityFirstStage",
+    "ldm.modules.encoders.modules.ClassEmbedder": "versband_tpu.text.embedders.ClassEmbedder",
+    "ldm.modules.encoders.modules.SpatialRescaler": "versband_tpu.text.embedders.SpatialRescaler",
+    "ldm.modules.diffusionmodules.concatDiT.ConcatDiT": "versband_tpu.models.concat_dit.ConcatDiT",
+    "ldm.modules.diffusionmodules.concatDiT.HybridDiT2MLP": "versband_tpu.models.concat_dit.HybridDiT2MLP",
+    "ldm.modules.diffusionmodules.concatDiT.HybridDiT2MLP2": "versband_tpu.models.concat_dit.HybridDiT2MLP",
     "ldm.lr_scheduler.LambdaLinearScheduler": "versband_tpu.train.lr_schedules.LambdaLinearScheduler",
     "ldm.lr_scheduler.LambdaWarmUpCosineScheduler": "versband_tpu.train.lr_schedules.LambdaWarmUpCosineScheduler",
     "ldm.data.vocal2accomp_musical_dataset.JoinSpecsTrain": "versband_tpu.data.vocal2accomp.JoinSpecsTrain",

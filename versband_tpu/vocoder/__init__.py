@@ -13,3 +13,6 @@ from versband_tpu.vocoder.discriminators import (
 from versband_tpu.vocoder.losses import (
     multi_resolution_stft_loss, stft_loss,
 )
+from versband_tpu.vocoder.nsf import (
+    NSFHifiGanGenerator, HifiGAN_NSF, SourceModuleHnNSF,
+)
