@@ -1,0 +1,102 @@
+"""DiffusionWrapper dispatch, inpainting, progressive denoising, classifier
+guidance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from versband_tpu.models.ldm_variants import (
+    diffusion_wrapper_apply, progressive_denoising, inpaint_sample,
+    NoiseLevelClassifier, classifier_guided_eps)
+from versband_tpu.models.schedules import DiffusionSchedule
+
+
+def _record_apply():
+    calls = {}
+
+    def apply_fn(params, x, t, context):
+        calls["x"] = x
+        calls["context"] = context
+        return x * 0.0, 0.0
+
+    return apply_fn, calls
+
+
+def test_wrapper_modes():
+    apply_fn, calls = _record_apply()
+    x = jnp.zeros((1, 4, 8))
+    t = jnp.zeros((1,))
+    c = jnp.ones((1, 2, 8))
+    txt = jnp.ones((1, 3, 16))
+
+    diffusion_wrapper_apply(apply_fn, None, x, t, None)
+    assert calls["context"] is None
+
+    diffusion_wrapper_apply(apply_fn, None, x, t, "concat", c_concat=c)
+    assert calls["x"].shape == (1, 6, 8)  # channel concat
+
+    diffusion_wrapper_apply(apply_fn, None, x, t, "crossattn", c_crossattn=txt)
+    assert calls["context"].shape == (1, 3, 16)
+
+    diffusion_wrapper_apply(apply_fn, None, x, t, "hybrid", c_concat=c,
+                            c_crossattn=txt)
+    assert set(calls["context"]) == {"c_concat", "c_crossattn"}
+
+    with pytest.raises(NotImplementedError):
+        diffusion_wrapper_apply(apply_fn, None, x, t, "bogus")
+
+
+def _toy_eps(mu, sched):
+    sac = jnp.asarray(sched.sqrt_alphas_cumprod)
+    s1m = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+
+    def apply_fn(params, x, t, context):
+        ti = t.astype(jnp.int32)
+        return (x - sac[ti].reshape(-1, 1, 1) * mu) / \
+            s1m[ti].reshape(-1, 1, 1), 0.0
+
+    return apply_fn
+
+
+def test_inpaint_keeps_known_region():
+    sched = DiffusionSchedule.create(200, "linear", 0.00085, 0.012)
+    mu = 0.5
+    apply_fn = _toy_eps(mu, sched)
+    x0 = jnp.full((1, 2, 16), -0.8)  # known signal differs from model's mu
+    mask = jnp.zeros((1, 2, 16)).at[:, :, :8].set(1.0)
+    out = inpaint_sample(apply_fn, None, sched, x0, mask,
+                         None, jax.random.PRNGKey(0))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, :, :8], -0.8, atol=1e-6)  # known kept
+    np.testing.assert_allclose(out[:, :, 8:], mu, atol=0.3)      # filled in
+
+
+def test_progressive_denoising_snapshots():
+    sched = DiffusionSchedule.create(100, "linear", 0.00085, 0.012)
+    apply_fn = _toy_eps(0.2, sched)
+    x, snaps = progressive_denoising(apply_fn, None, sched, (1, 2, 8), None,
+                                     jax.random.PRNGKey(0), n_snapshots=5)
+    assert snaps.shape[0] == 5
+    np.testing.assert_allclose(np.asarray(x), 0.2, atol=0.3)
+    # early snapshots (high noise) are worse predictions than late ones
+    err_first = np.abs(np.asarray(snaps[0]) - 0.2).mean()
+    err_last = np.abs(np.asarray(snaps[-1]) - 0.2).mean()
+    assert err_last <= err_first + 0.05
+
+
+def test_classifier_guidance_shifts_eps():
+    sched = DiffusionSchedule.create(100, "linear", 0.00085, 0.012)
+    clf = NoiseLevelClassifier(num_classes=3, in_channels=2, hidden=16,
+                               depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16))
+    t = jnp.array([10.0, 50.0])
+    params = clf.init(jax.random.PRNGKey(1), x, t)
+    logits = clf.apply(params, x, t)
+    assert logits.shape == (2, 3)
+    eps = jnp.zeros_like(x)
+    y = jnp.array([0, 2])
+    eps2 = classifier_guided_eps(eps, x, t, y, clf.apply, params, sched,
+                                 scale=2.0)
+    assert eps2.shape == eps.shape
+    assert float(jnp.abs(eps2).max()) > 0  # guidance moved eps

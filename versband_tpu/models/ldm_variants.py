@@ -1,0 +1,172 @@
+"""DiffusionWrapper conditioning dispatch + legacy LDM variants.
+
+Re-designs of:
+  * ``DiffusionWrapper`` (``ddpm.py:1396-1446``) — the conditioning_key
+    dispatch {None, concat, crossattn, hybrid, adm, film} that adapts a cond
+    dict to backbone kwargs;
+  * ``LatentDiffusion_audio`` sampling/logging surface
+    (``ddpm_audio.py:489-863``): ``sample_log`` (DDIM or ancestral),
+    ``progressive_denoising`` snapshots, ``log_images`` dict;
+  * ``LatentDiffusionInpaint`` (``ddpm_audio_inpaint.py``): masked-latent
+    inpainting sampling — keep known region at each step;
+  * ``AudioLDM``-style CLAP reranking of a sample batch
+    (``audioldm.py:236-243,704-709``);
+  * noisy-latent ``NoiseLevelClassifier`` for classifier guidance
+    (``classifier.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+import numpy as np
+
+from versband_tpu.models.samplers import (
+    DDIMSampler, ddpm_sample_loop, predict_start_from_noise, q_posterior,
+    q_sample)
+from versband_tpu.models.schedules import DiffusionSchedule
+
+Array = jax.Array
+
+
+def diffusion_wrapper_apply(apply_fn: Callable, params, x: Array, t: Array,
+                            conditioning_key: Optional[str] = None,
+                            c_concat: Optional[Any] = None,
+                            c_crossattn: Optional[Any] = None):
+    """Conditioning-mode dispatch (``ddpm.py:1403-1436``).
+
+    The backbone contract is ``apply_fn(params, x, t, context)``; each mode
+    shapes ``context`` (or the input) accordingly:
+      * None      — unconditional;
+      * concat    — channel-concat c onto x;
+      * crossattn — context = text tokens;
+      * hybrid    — context = {'c_concat', 'c_crossattn'} (the shipped mode);
+      * adm / film — context = class/film embedding vector.
+    """
+    if conditioning_key is None:
+        return apply_fn(params, x, t, None)
+    if conditioning_key == "concat":
+        xc = jnp.concatenate([x] + list(c_concat), axis=1) \
+            if isinstance(c_concat, (list, tuple)) else \
+            jnp.concatenate([x, c_concat], axis=1)
+        return apply_fn(params, xc, t, None)
+    if conditioning_key == "crossattn":
+        return apply_fn(params, x, t, c_crossattn)
+    if conditioning_key == "hybrid":
+        return apply_fn(params, x, t,
+                        {"c_concat": c_concat, "c_crossattn": c_crossattn})
+    if conditioning_key in ("adm", "film"):
+        return apply_fn(params, x, t, c_crossattn)
+    raise NotImplementedError(conditioning_key)
+
+
+def progressive_denoising(apply_fn: Callable, params,
+                          schedule: DiffusionSchedule,
+                          shape: Tuple[int, ...], context, key: jax.Array,
+                          n_snapshots: int = 10,
+                          parameterization: str = "eps") -> Tuple[Array, Array]:
+    """Ancestral sampling that also returns x0-prediction snapshots
+    (``ddpm_audio.py:560-652``). Returns (x_final, snapshots [S, B, ...])."""
+    B = shape[0]
+    T = schedule.num_timesteps
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, shape)
+    snap_every = max(T // n_snapshots, 1)
+
+    def body(x, step):
+        t = jnp.full((B,), step, jnp.int32)
+        out, _ = apply_fn(params, x, t.astype(jnp.float32), context)
+        x0 = predict_start_from_noise(schedule, x, t, out) \
+            if parameterization == "eps" else out
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        mean, _, log_var = q_posterior(schedule, x0, x, t)
+        noise = jax.random.normal(jax.random.fold_in(k_loop, step), x.shape)
+        x_next = mean + (step > 0) * jnp.exp(0.5 * log_var) * noise
+        return x_next, x0
+
+    steps = jnp.arange(T - 1, -1, -1)
+    x, all_x0 = jax.lax.scan(body, x, steps)  # x0 predictions per step
+    snaps = all_x0[::snap_every][:n_snapshots]
+    return x, snaps
+
+
+def inpaint_sample(apply_fn: Callable, params, schedule: DiffusionSchedule,
+                   x0_known: Array, mask: Array, context, key: jax.Array,
+                   parameterization: str = "eps") -> Array:
+    """Masked-latent inpainting (``ddpm_audio_inpaint.py`` semantics): at each
+    ancestral step the known region (mask==1) is replaced by the forward-
+    diffused ground truth."""
+    B = x0_known.shape[0]
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, x0_known.shape)
+
+    def body(x, step):
+        t = jnp.full((B,), step, jnp.int32)
+        k = jax.random.fold_in(k_loop, step)
+        k1, k2 = jax.random.split(k)
+        # renoise known region to the current noise level
+        known_t = q_sample(schedule, x0_known, t,
+                           jax.random.normal(k1, x.shape))
+        x = mask * known_t + (1.0 - mask) * x
+        out, _ = apply_fn(params, x, t.astype(jnp.float32), context)
+        x0 = predict_start_from_noise(schedule, x, t, out) \
+            if parameterization == "eps" else out
+        mean, _, log_var = q_posterior(schedule, x0, x, t)
+        noise = jax.random.normal(k2, x.shape)
+        return mean + (step > 0) * jnp.exp(0.5 * log_var) * noise, None
+
+    steps = jnp.arange(schedule.num_timesteps - 1, -1, -1)
+    x, _ = jax.lax.scan(body, x, steps)
+    return mask * x0_known + (1.0 - mask) * x
+
+
+def clap_rerank(samples_wav: np.ndarray, caption: str, clap,
+                top_k: int = 1) -> np.ndarray:
+    """AudioLDM-style best-of-N selection by CLAP text-audio cosine
+    similarity (``audioldm.py:236-243``). Returns indices of the top_k."""
+    a = clap.get_audio_embeddings(samples_wav)
+    t = clap.get_text_embeddings([caption])
+    sims = np.asarray(clap.compute_similarity(a, t))[:, 0]
+    return np.argsort(sims)[::-1][:top_k]
+
+
+class NoiseLevelClassifier(fnn.Module):
+    """Noisy-latent classifier for guidance (``classifier.py`` capability):
+    conv stack over [B, C, T] latents + timestep embedding -> class logits."""
+
+    num_classes: int
+    in_channels: int = 20
+    hidden: int = 128
+    depth: int = 3
+
+    @fnn.compact
+    def __call__(self, x: Array, t: Array) -> Array:
+        from versband_tpu.nn import TimestepEmbedder
+
+        h = jnp.swapaxes(x, 1, 2)
+        temb = TimestepEmbedder(self.hidden, name="t_embedder")(t)
+        for i in range(self.depth):
+            h = fnn.Conv(self.hidden, (5,), strides=(2,), padding="SAME",
+                         name=f"conv_{i}")(h)
+            h = fnn.silu(h + temb[:, None, :])
+        h = h.mean(axis=1)
+        return fnn.Dense(self.num_classes, name="out")(h)
+
+
+def classifier_guided_eps(eps: Array, x: Array, t: Array, y: Array,
+                          classifier_apply: Callable, classifier_params,
+                          schedule: DiffusionSchedule,
+                          scale: float = 1.0) -> Array:
+    """eps' = eps - s * sqrt(1-ac_t) * grad_x log p(y|x_t) (ADM guidance)."""
+    def log_prob(x_in):
+        logits = classifier_apply(classifier_params, x_in, t)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(logp, y[:, None], axis=1).sum()
+
+    grad = jax.grad(log_prob)(x)
+    s1m = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)[
+        t.astype(jnp.int32)].reshape(-1, *([1] * (x.ndim - 1)))
+    return eps - scale * s1m * grad

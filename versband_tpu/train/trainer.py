@@ -319,6 +319,23 @@ class CFMTrainer(BaseTrainer):
             self._dispatch("on_exception")
             raise
 
+    def log_images(self, batch) -> Dict[str, np.ndarray]:
+        """inputs / samples for the Image/AudioLogger callbacks
+        (``ddpm_audio.py:747-863`` subset: gt mel + CFM sample decoded)."""
+        if self.state is None:
+            return {}
+        db = self._device_batch(batch)
+        self.key, k = jax.random.split(self.key)
+        cond = {"caption": db["caption"],
+                "acoustic": {"midi": db["midi"], "beats": db["beats"]}}
+        B = min(int(db["image"].shape[0]), 4)
+        cond = jax.tree_util.tree_map(lambda x: x[:B], cond)
+        z = self.cfm.sample_cfg(self.state.params, cond, 1.0, None, k,
+                                batch_size=B)
+        mel = self.cfm.decode_first_stage(self.vae_params, z)
+        return {"inputs": np.asarray(db["image"][:B]),
+                "samples": np.asarray(mel)}
+
     def _validate(self, val_loader):
         """val with EMA shadow weights when enabled (``ddpm.py:357-364``)."""
         params = (self.state.ema.shadow
