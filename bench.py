@@ -109,10 +109,11 @@ def build_pipeline():
 def main():
     gen, has_vocoder = build_pipeline()
     key = jax.random.PRNGKey(42)
-    out = gen(key)
-    jax.block_until_ready(out)  # compile + warm
+    for i in range(3):  # compile + fully warm the dispatch path
+        out = gen(jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(out)
 
-    n_iter = 5
+    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = gen(jax.random.fold_in(key, i))

@@ -47,7 +47,11 @@ class DataLoader:
         # waiting on item tasks that can never be scheduled).
         with ThreadPoolExecutor(self.num_workers) as item_pool, \
                 ThreadPoolExecutor(self.prefetch) as batch_pool:
+            batch_loader = getattr(self.dataset, "load_batch", None)
+
             def fetch(idx_list):
+                if batch_loader is not None:
+                    return batch_loader(idx_list)
                 items = list(item_pool.map(self.dataset.__getitem__, idx_list))
                 return self.collate_fn(items)
 

@@ -47,6 +47,39 @@ class JoinManifestSpecs:
     def collater(self, inputs):
         return {"image": np.stack([i["image"] for i in inputs])}
 
+    def load_batch(self, idxs):
+        """Batched fast path: mel crops via the native C++ loader (GIL-free
+        mmap + thread pool); items shorter than the crop fall back to the
+        per-item tile path."""
+        from versband_tpu import native
+
+        rows = [self.dataset.iloc[i] for i in idxs]
+        paths = [r["mel_path"] for r in rows]
+        starts = [0] * len(rows)
+        batch, lengths = native.load_mel_batch(
+            paths, self.mel_num, self.batch_max_length)
+        # random crop for long items: re-read with an offset (cheap, mmap'd)
+        long_idx = [i for i, r in enumerate(rows)
+                    if lengths[i] > 0]
+        redo = []
+        for i in long_idx:
+            full_len = np.load(paths[i], mmap_mode="r").shape[1]
+            if full_len > self.batch_max_length:
+                starts[i] = int(self.rng.integers(
+                    full_len - self.batch_max_length))
+                redo.append(i)
+        if redo:
+            sub, _ = native.load_mel_batch(
+                [paths[i] for i in redo], self.mel_num,
+                self.batch_max_length, starts=[starts[i] for i in redo])
+            for j, i in enumerate(redo):
+                batch[i] = sub[j]
+        # short/corrupted items: per-item semantics (tile / zero fallback)
+        for i, r in enumerate(rows):
+            if lengths[i] < self.batch_max_length:
+                batch[i] = self[int(idxs[i])]["image"]
+        return {"image": batch}
+
     def __len__(self) -> int:
         return len(self.dataset)
 

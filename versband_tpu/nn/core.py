@@ -210,6 +210,13 @@ class JointAttention(fnn.Module):
     qk_norm: bool = False
     y_dim: int = 0
     use_flash: bool = False
+    # Lumina proportional attention for length extrapolation: softmax scale
+    # sqrt(log_{base_seqlen}(T) / head_dim). The reference references the flag
+    # but never defines it (a latent crash in its flash path,
+    # ``flag_large_dit_moe.py:362-365`` / SURVEY.md §7.3 item 7); defined here
+    # with default False.
+    proportional_attn: bool = False
+    base_seqlen: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -249,7 +256,11 @@ class JointAttention(fnn.Module):
             k = jnp.repeat(k, n_rep, axis=2)
             v = jnp.repeat(v, n_rep, axis=2)
 
-        out = attention(q, k, v, x_mask, use_flash=self.use_flash)
+        scale = None
+        if self.proportional_attn and self.base_seqlen and T > 1:
+            scale = math.sqrt(
+                math.log(T, self.base_seqlen) / head_dim)
+        out = attention(q, k, v, x_mask, scale=scale, use_flash=self.use_flash)
 
         if self.y_dim > 0 and y is not None:
             ky = fnn.Dense(n_kv * head_dim, use_bias=False, dtype=self.dtype,

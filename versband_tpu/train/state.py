@@ -8,6 +8,7 @@ train step instead of name-mangled module buffers.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Optional
 
 import jax
@@ -40,6 +41,22 @@ class EmaState:
         shadow = jax.tree_util.tree_map(
             lambda s, p: s - one_minus * (s - p.astype(s.dtype)), self.shadow, params)
         return self.replace(num_updates=n, shadow=shadow)
+
+    def copy_to(self, params):
+        """Return the shadow cast to the params' dtypes — the LitEma
+        ``copy_to`` used for EMA-weights validation (``ema.py:44-50``)."""
+        return jax.tree_util.tree_map(
+            lambda p, s: s.astype(p.dtype), params, self.shadow)
+
+
+@contextlib.contextmanager
+def ema_scope(state: "TrainState"):
+    """Yield EMA weights for evaluation, mirroring LitEma's store/restore
+    context (``ema.py:52-76``; functional — nothing to restore)."""
+    if state.ema is not None:
+        yield state.ema.copy_to(state.params)
+    else:
+        yield state.params
 
 
 @struct.dataclass

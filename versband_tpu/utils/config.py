@@ -80,6 +80,12 @@ TARGET_ALIASES = {
     "ldm.data.vocal2accomp_dataset.JoinSpecsValidation": "versband_tpu.data.vocal2accomp.JoinSpecsValidation",
     "ldm.data.joinaudiodataset_624.JoinSpecsTrain": "versband_tpu.data.fixed_len.JoinSpecsTrain",
     "ldm.data.joinaudiodataset_624.JoinSpecsValidation": "versband_tpu.data.fixed_len.JoinSpecsValidation",
+    "ldm.data.tsvdataset.TSVDataset": "versband_tpu.data.tsvdataset.TSVDataset",
+    "ldm.data.tsvdataset.TSVDatasetStruct": "versband_tpu.data.tsvdataset.TSVDatasetStruct",
+    "ldm.data.joinaudiodataset_struct_sample_anylen.JoinSpecsTrain": "versband_tpu.data.anylen.JoinSpecsTrain",
+    "ldm.data.joinaudiodataset_anylen.JoinSpecsTrain": "versband_tpu.data.anylen.JoinSpecsTrain",
+    "ldm.data.joinaudiodataset_anylen.JoinSpecsValidation": "versband_tpu.data.anylen.JoinSpecsValidation",
+    "vocoder.hifigan.modules.hifigan.CodeUpsampleHifiGanGenerator": "versband_tpu.vocoder.hifigan.CodeUpsampleHifiGanGenerator",
     "main.AudioLogger": "versband_tpu.train.callbacks.AudioLogger",
     "main.ImageLogger": "versband_tpu.train.callbacks.ImageLogger",
     "main.SpectrogramDataModuleFromConfig": "versband_tpu.data.datamodule.SpectrogramDataModule",

@@ -119,6 +119,52 @@ class HifiGanGenerator(fnn.Module):
         return x[..., 0] if self.c_out == 1 else jnp.swapaxes(x, 1, 2)
 
 
+class CodeUpsampleHifiGanGenerator(fnn.Module):
+    """Codec-token input variant (``hifigan.py:155-195``): per-codebook
+    embeddings (offset ids, clamp to pad), channel-flattened, optionally
+    linearly time-upsampled, then the standard HiFi-GAN stack."""
+
+    code_num: int = 1024
+    codebook_num: int = 3
+    code_emb_dim: int = 128
+    unit_upsample_rate: float = 1.0
+    upsample_initial_channel: int = 512
+    upsample_rates: Sequence[int] = (5, 4, 4, 4)
+    upsample_kernel_sizes: Sequence[int] = (9, 8, 8, 8)
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    use_weight_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, codes: Array) -> Array:
+        # codes: [B, Q, T] int token ids
+        B, Q, T = codes.shape
+        assert Q == self.codebook_num
+        pad_id = self.code_num * self.codebook_num
+        offsets = self.code_num * jnp.arange(Q, dtype=codes.dtype)
+        ids = jnp.minimum(codes + offsets[None, :, None], pad_id)
+        emb = fnn.Embed(pad_id + 5, self.code_emb_dim, dtype=self.dtype,
+                        name="code_embed")(ids.astype(jnp.int32))  # [B,Q,T,e]
+        x = jnp.swapaxes(emb, 1, 2).reshape(B, T, Q * self.code_emb_dim)
+        if self.unit_upsample_rate != 1.0:
+            tgt = int(T * self.unit_upsample_rate)
+            x = jax.image.resize(x, (B, tgt, x.shape[-1]), "linear")
+        gen = HifiGanGenerator(
+            in_channels=x.shape[-1],
+            upsample_initial_channel=self.upsample_initial_channel,
+            upsample_rates=self.upsample_rates,
+            upsample_kernel_sizes=self.upsample_kernel_sizes,
+            resblock=self.resblock,
+            resblock_kernel_sizes=self.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.resblock_dilation_sizes,
+            use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+            name="generator")
+        # generator expects channel-first [B, C, T]
+        return gen(jnp.swapaxes(x, 1, 2))
+
+
 class HifiGAN:
     """Runtime wrapper (``vocoder/hifigan/hifigan.py:6-42``): loads a ckpt dir
     with ``config.yaml`` + generator weights, folds weight norm, serves
