@@ -45,6 +45,10 @@ def get_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--platform", default=None)
+    p.add_argument("--pad_to", type=int, default=0,
+                   help="pad conditions to a fixed mel length (frames): one "
+                        "compiled program reused across items + pipelined "
+                        "dispatch; wavs are trimmed to true length")
     return p
 
 
@@ -195,6 +199,17 @@ def main(argv: List[str] = None) -> int:
     items = list(range(len(dataset)))[opt.rank::opt.world]
     for item_idx, i in enumerate(items):
         item = dataset[i]
+        true_frames = item["acoustic"].shape[1]
+        if opt.pad_to:
+            from versband_tpu.data.collate import pad_or_cut_xd
+            from versband_tpu.data.vocal2accomp import BEATS_PAD, MIDI_PAD
+
+            item = dict(item)
+            item["acoustic"] = pad_or_cut_xd(item["acoustic"], opt.pad_to, 1,
+                                             -5.0)
+            item["midi"] = pad_or_cut_xd(item["midi"], opt.pad_to, 1, MIDI_PAD)
+            item["beats"] = pad_or_cut_xd(item["beats"], opt.pad_to, 1,
+                                          BEATS_PAD)
         acoustic = jnp.asarray(np.stack([item["acoustic"]] * B))
         midi = jnp.asarray(np.stack([item["midi"]] * B), jnp.int32)
         beats = jnp.asarray(np.stack([item["beats"]] * B), jnp.int32)
@@ -219,6 +234,8 @@ def main(argv: List[str] = None) -> int:
                                    f"cond_gtcodec_accomp_scale_{scale}")
             for widx, mel in enumerate(mels):
                 wav = vocoder.spec2wav(mel)
+                if opt.pad_to:
+                    wav = wav[: true_frames * 320]  # trim padding tail
                 wav = normalize_loudness(wav, -23.0)
                 path = os.path.join(
                     out_dir, f"{opt.rank}-{item_idx:04d}[{widx}][accomp].wav")

@@ -72,6 +72,13 @@ def main(argv: List[str] = None) -> int:
     opt, unknown = get_parser().parse_known_args(argv)
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+        if opt.platform == "cpu" and opt.devices and opt.devices > 1:
+            # virtual multi-device CPU mesh for sharding tests/dev
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_force_host_platform_device_count="
+                    f"{opt.devices}")
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
 
     bases = list(opt.base)
@@ -154,10 +161,18 @@ def main(argv: List[str] = None) -> int:
         vae_params = _init_vae_params(cfm, datamodule, fs_ckpt, opt.seed)
         sched_cfg = model_cfg["params"].get("scheduler_config")
         scheduler = instantiate_from_config(sched_cfg) if sched_cfg else None
+        mesh = None
+        if (opt.devices or jax.device_count()) > 1:
+            from versband_tpu.parallel import make_mesh
+
+            n_dev = opt.devices or jax.device_count()
+            mesh = make_mesh(n_dev // opt.n_model, opt.n_model,
+                             jax.devices()[:n_dev])
+            print(f"Training on mesh {dict(mesh.shape)}")
         trainer = CFMTrainer(
             cfm, vae_params, cfm.cond_stage, learning_rate=lr,
             use_ema=bool(model_cfg["params"].get("use_ema", False)),
-            scheduler=scheduler, **common)
+            scheduler=scheduler, mesh=mesh, **common)
 
     if opt.train:
         trainer.fit(datamodule, resume=bool(opt.resume))

@@ -310,6 +310,7 @@ class BandMoeDiT(fnn.Module):
     midi_vocab: int = 130
     beats_vocab: int = 3
     use_flash: bool = False
+    remat: bool = False  # jax.checkpoint each block (trade FLOPs for HBM)
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -364,16 +365,19 @@ class BandMoeDiT(fnn.Module):
         h = acoustic + h
         adaln_input = t_emb + cap_emb
 
+        # static_argnums counts self at 0: `train` (a python bool) is arg 12
+        block_cls = (fnn.remat(TransformerBlock, static_argnums=(12,))
+                     if self.remat else TransformerBlock)
         lb_total = jnp.float32(0.0)
         for i in range(self.depth):
-            h, lb = TransformerBlock(
+            h, lb = block_cls(
                 self.hidden_size, self.num_heads, self.hidden_size,
                 num_experts=self.num_experts, n_kv_heads=self.n_kv_heads,
                 multiple_of=self.multiple_of, norm_eps=self.norm_eps,
                 qk_norm=self.qk_norm, use_flash=self.use_flash,
                 dtype=self.dtype, name=f"blocks_{i}",
             )(h, None, caption, None, rope_cos, rope_sin, adaln_input,
-              t_emb, caption, acoustic, step=step, train=train)
+              t_emb, caption, acoustic, step, train)
             lb_total = lb_total + lb
         lb_loss = lb_total / self.depth * anneal_loss_weight(step)
 

@@ -86,16 +86,32 @@ class TrainState:
 
 def make_adamw(learning_rate: float | Callable, betas=(0.9, 0.999),
                weight_decay: float = 0.0, eps: float = 1e-8,
-               grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+               grad_clip: Optional[float] = None,
+               accumulate_grad_batches: int = 1) -> optax.GradientTransformation:
     """AdamW + optional global-norm clipping (the reference uses
     ``torch.optim.AdamW`` with Lightning ``gradient_clip_val`` = 1.0,
-    ``configs/vocal2music.yaml:94``)."""
+    ``configs/vocal2music.yaml:94``). ``accumulate_grad_batches`` maps the
+    Lightning accumulation setting onto ``optax.MultiSteps``."""
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
                              weight_decay=weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+    return tx
+
+
+def make_radam(learning_rate: float | Callable, betas=(0.9, 0.999),
+               eps: float = 1e-8,
+               weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """RAdam — the ParallelWaveGAN trainer's optimizer
+    (``vocoder/parallel_wavegan/optimizers/radam.py``)."""
+    tx = optax.radam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+    if weight_decay:
+        tx = optax.chain(tx, optax.add_decayed_weights(weight_decay))
+    return tx
 
 
 def make_adam(learning_rate: float | Callable, betas=(0.5, 0.9),

@@ -213,7 +213,7 @@ class CFMTrainer(BaseTrainer):
 
     def __init__(self, cfm, vae_params, cond_stage, learning_rate: float,
                  grad_clip: float = 1.0, use_ema: bool = False,
-                 scheduler=None, **kw):
+                 scheduler=None, mesh=None, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adamw
         from versband_tpu.train.step import make_cfm_train_step
@@ -225,7 +225,10 @@ class CFMTrainer(BaseTrainer):
             lambda step: learning_rate * scheduler(step))
         self.tx = make_adamw(lr, grad_clip=grad_clip)
         self.use_ema = use_ema
-        self.train_step = jax.jit(make_cfm_train_step(cfm, vae_params))
+        self.mesh = mesh  # jax.sharding.Mesh -> pjit over (data, model)
+        self._raw_step = make_cfm_train_step(cfm, vae_params)
+        self.train_step = jax.jit(self._raw_step) if mesh is None else None
+        self._place_state = self._place_batch = None
         self.state: Optional[TrainState] = None
 
     def _encode_captions(self, batch) -> np.ndarray:
@@ -297,6 +300,16 @@ class CFMTrainer(BaseTrainer):
                                 self.global_step = self.ckpt.last_step()
                                 print(f"Resumed at step {self.global_step}")
                     db = self._device_batch(batch)
+                    if self.mesh is not None and self.train_step is None:
+                        from versband_tpu.train.step import shard_train_step
+
+                        with self.mesh:
+                            (self.train_step, self._place_state,
+                             self._place_batch) = shard_train_step(
+                                self._raw_step, self.state, db, self.mesh)
+                            self.state = self._place_state(self.state)
+                    if self._place_batch is not None:
+                        db = self._place_batch(db)
                     self.key, k = jax.random.split(self.key)
                     self.state, metrics = self.train_step(self.state, db, k)
                     self.global_step = int(self.state.step)

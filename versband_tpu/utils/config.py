@@ -49,6 +49,12 @@ TARGET_ALIASES = {
     "ldm.models.autoencoder1d.AutoencoderKL": "versband_tpu.models.autoencoder.AutoencoderKL",
     "ldm.models.diffusion.cfm1_audio.CFM": "versband_tpu.models.cfm.CFM",
     "ldm.models.diffusion.ddpm_audio.LatentDiffusion_audio": "versband_tpu.models.cfm.LatentDiffusion",
+    # order variant is byte-for-byte the base LDM modulo cosmetics (verified
+    # by structural diff) — same implementation serves both targets
+    "ldm.models.diffusion.ddpm_audio_order.LatentDiffusion_audio": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.models.diffusion.ddpm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.models.diffusion.audioldm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.models.diffusion.classifier.NoisyLatentImageClassifier": "versband_tpu.models.ldm_variants.NoiseLevelClassifier",
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeImprovedDiTV2": "versband_tpu.models.dit.BandMoeDiT",
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeDiT": "versband_tpu.models.dit.BandMoeDiT",
     "ldm.modules.diffusionmodules.flag_large_dit_moe.VideoFlagLargeDiT": "versband_tpu.models.dit_timefreq.TimeFreqMoeDiT",
