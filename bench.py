@@ -88,20 +88,22 @@ def build_pipeline():
         return euler_cfg_sample(cfm.model.apply, dit_p, z0, cond, uncond,
                                 guidance_scale=CFG_SCALE, num_steps=ODE_STEPS)
 
-    @jax.jit
-    def decode_stage(vae_p, z):
-        return vae.apply(vae_p, z.astype(DTYPE), method="decode")
-
-    vocode_stage = None
+    # decode + vocode fused into ONE program: both are small (the 413 upload
+    # limit only bites with the 25-step sampler included), and every staged
+    # call pays a tunnel RPC round trip.
     if vocoder_apply is not None:
-        vocode_stage = jax.jit(lambda voc_p, mel: vocoder_apply(voc_p, mel))
+        @jax.jit
+        def finish_stage(vae_p, voc_p, z):
+            mel = vae.apply(vae_p, z.astype(DTYPE), method="decode")
+            return vocoder_apply(voc_p, mel)
+    else:
+        @jax.jit
+        def finish_stage(vae_p, voc_p, z):
+            return vae.apply(vae_p, z.astype(DTYPE), method="decode")
 
     def generate(key):
         z = sample_stage(dit_params, key)
-        mel = decode_stage(vae_params, z)
-        if vocode_stage is not None:
-            return vocode_stage(voc_params, mel)
-        return mel
+        return finish_stage(vae_params, voc_params, z)
 
     return generate, vocoder_apply is not None
 

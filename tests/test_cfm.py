@@ -109,3 +109,18 @@ def test_latent_length():
     assert m.latent_length(16) == 8
     assert m.latent_length(15) == 8
     assert m.latent_length(1500) == 750
+
+
+def test_encode_once_matches_full_recompute(cfm):
+    """Hoisting the conditioning encode out of the ODE scan is bit-exact."""
+    m, params = cfm
+    cond = _cond()
+    uncond = jax.tree_util.tree_map(
+        lambda v: jnp.zeros_like(v) if hasattr(v, "shape") else v,
+        {k: v for k, v in cond.items() if k != "name"})
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 8))
+    a = euler_cfg_sample(m.model.apply, params, x0, cond, uncond, 2.0, 10,
+                         encode_once=False)
+    b = euler_cfg_sample(m.model.apply, params, x0, cond, uncond, 2.0, 10,
+                         encode_once=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

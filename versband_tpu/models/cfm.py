@@ -91,6 +91,7 @@ def euler_cfg_sample(
     num_steps: int = 25,
     t_start: int = 0,
     num_timesteps: int = 1000,
+    encode_once: bool = False,
 ) -> Array:
     """Euler ODE integration of the flow field with classifier-free guidance.
 
@@ -98,6 +99,11 @@ def euler_cfg_sample(
     ``linspace(0,1,num_steps)``; cond and uncond are evaluated in one
     batch-doubled forward. ``x0``: [B, C, T] start noise (or partial-noise
     latent when ``t_start>0``).
+
+    ``encode_once``: hoist the t-independent conditioning encode (midi/beats
+    embedding+conv stems, caption projection) out of the scan — supported by
+    backbones that answer ``{"encode_only": True}`` (BandMoeDiT). Cuts ~1/3
+    of the per-step FLOPs at 25 steps.
     """
     B = x0.shape[0]
     ctx_c = _cond_to_context(cond)
@@ -106,6 +112,12 @@ def euler_cfg_sample(
         ctx = _tree_concat(ctx_c, _cond_to_context(uncond))
     else:
         ctx = ctx_c
+    if encode_once:
+        n = 2 * B if use_cfg else B
+        enc = apply_fn(params, jnp.zeros((n,) + x0.shape[1:], x0.dtype),
+                       jnp.zeros((n,), jnp.float32),
+                       {**ctx, "encode_only": True})
+        ctx = {"c_encoded": enc}
     ts = jnp.linspace(0.0, 1.0, num_steps)[t_start:]
 
     def step_fn(x, i):
@@ -271,9 +283,12 @@ class CFM(LatentDiffusion):
             shape = (B, self.mel_dim, self.latent_length(T_cond))
         x0 = (jax.random.normal(key, shape, jnp.float32)
               if x_latent is None else x_latent)
+        from versband_tpu.models.dit import BandMoeDiT
+
         return euler_cfg_sample(
             self.model.apply, params, x0, cond, uncond, guidance_scale,
-            num_steps=steps, t_start=t_start, num_timesteps=self.num_timesteps)
+            num_steps=steps, t_start=t_start, num_timesteps=self.num_timesteps,
+            encode_once=isinstance(self.model, BandMoeDiT))
 
     def sample(self, params, cond, key, **kw) -> Array:
         return self.sample_cfg(params, cond, 1.0, None, key, **kw)

@@ -316,30 +316,53 @@ class BandMoeDiT(fnn.Module):
     @fnn.compact
     def __call__(self, x: Array, t: Array, context: Dict[str, Any],
                  step: Array | int = 0, train: bool = False) -> Tuple[Array, Array]:
-        midi = context["c_concat"]["midi"]
-        beats = context["c_concat"]["beats"]
-        caption = context["c_crossattn"]
-        if midi.ndim == 3:
-            midi = midi[:, 0, :]
-        if beats.ndim == 3:
-            beats = beats[:, 0, :]
+        # Conditioning encode is t-/x-independent. Samplers precompute it ONCE
+        # outside the ODE scan (pass ``{"encode_only": True}`` to get the
+        # encodings, then feed them back as ``{"c_encoded": ...}``) instead of
+        # re-running the embedding/conv stems on all 25 steps.
+        encoded = context.get("c_encoded") if isinstance(context, dict) else None
+        encode_only = bool(isinstance(context, dict)
+                           and context.get("encode_only"))
+
+        if encoded is None:
+            midi = context["c_concat"]["midi"]
+            beats = context["c_concat"]["beats"]
+            caption = context["c_crossattn"]
+            if midi.ndim == 3:
+                midi = midi[:, 0, :]
+            if beats.ndim == 3:
+                beats = beats[:, 0, :]
+
+            midi_e = fnn.Embed(self.midi_vocab, self.hidden_size, dtype=self.dtype,
+                               name="midi_embedding")(midi.astype(jnp.int32))
+            beats_e = fnn.Embed(self.beats_vocab, self.hidden_size, dtype=self.dtype,
+                                name="beats_embedding")(beats.astype(jnp.int32))
+            midi_e = ConvLeakyPool(self.hidden_size, dtype=self.dtype, name="midi_proj")(midi_e)
+            beats_e = ConvLeakyPool(self.hidden_size, dtype=self.dtype, name="beats_proj")(beats_e)
+            acoustic = midi_e + beats_e  # [B, T_mel/2, H]
+            acoustic = fnn.Conv(self.hidden_size, (1,), dtype=self.dtype,
+                                name="final_proj")(acoustic)
+
+            caption = ConditionEmbedder(self.hidden_size, dtype=self.dtype,
+                                        name="c_embedder")(caption)  # [B,Ty,H]
+            cap_pool = caption.mean(axis=1)  # all-ones cap mask in the shipped forward
+            cap_emb = fnn.Dense(
+                self.hidden_size, dtype=self.dtype, kernel_init=xavier, name="cap_embedder",
+            )(fnn.LayerNorm(dtype=self.dtype, name="cap_embedder_norm")(cap_pool))
+        else:
+            acoustic = encoded["acoustic"]
+            caption = encoded["caption"]
+            cap_emb = encoded["cap_emb"]
+
+        if encode_only:
+            return {"acoustic": acoustic, "caption": caption,
+                    "cap_emb": cap_emb}
 
         head_dim = self.hidden_size // self.num_heads
         cos_np, sin_np = precompute_rope(
             head_dim, self.max_len, rope_scaling_factor=self.rope_scaling_factor,
             ntk_factor=self.ntk_factor)
         rope_cos, rope_sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
-
-        emb_init = fnn.initializers.xavier_uniform()
-        midi_e = fnn.Embed(self.midi_vocab, self.hidden_size, dtype=self.dtype,
-                           name="midi_embedding")(midi.astype(jnp.int32))
-        beats_e = fnn.Embed(self.beats_vocab, self.hidden_size, dtype=self.dtype,
-                            name="beats_embedding")(beats.astype(jnp.int32))
-        midi_e = ConvLeakyPool(self.hidden_size, dtype=self.dtype, name="midi_proj")(midi_e)
-        beats_e = ConvLeakyPool(self.hidden_size, dtype=self.dtype, name="beats_proj")(beats_e)
-        acoustic = midi_e + beats_e  # [B, T_mel/2, H]
-        acoustic = fnn.Conv(self.hidden_size, (1,), dtype=self.dtype,
-                            name="final_proj")(acoustic)
 
         # latent in: [B, C, T] -> [B, T, H]
         h = fnn.Conv(self.hidden_size, (5,), padding="SAME", dtype=self.dtype,
@@ -355,13 +378,6 @@ class BandMoeDiT(fnn.Module):
             acoustic = acoustic[:, :T, :]
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)
-        caption = ConditionEmbedder(self.hidden_size, dtype=self.dtype,
-                                    name="c_embedder")(caption)  # [B,Ty,H]
-        cap_pool = caption.mean(axis=1)  # all-ones cap mask in the shipped forward
-        cap_emb = fnn.Dense(
-            self.hidden_size, dtype=self.dtype, kernel_init=xavier, name="cap_embedder",
-        )(fnn.LayerNorm(dtype=self.dtype, name="cap_embedder_norm")(cap_pool))
-
         h = acoustic + h
         adaln_input = t_emb + cap_emb
 
