@@ -119,7 +119,7 @@ def main(argv: List[str] = None) -> int:
         print(f"Using base learning rate {lr:.2e}")
 
     from versband_tpu.train.callbacks import (
-        AudioLogger, DeviceStatsCallback, ImageLogger, SetupCallback)
+        DeviceStatsCallback, SetupCallback)
     from versband_tpu.train.checkpoints import CheckpointManager
 
     callbacks = [SetupCallback(bool(opt.resume), now, logdir, ckptdir, cfgdir,
@@ -150,7 +150,14 @@ def main(argv: List[str] = None) -> int:
                             ddconfig=params.get("ddconfig"),
                             monitor=params.get("monitor"))
         loss = instantiate_from_config(loss_cfg) if loss_cfg else None
-        trainer = VAETrainer(vae, loss, learning_rate=lr, **common)
+        mesh = None
+        if (opt.devices or jax.device_count()) > 1:
+            from versband_tpu.parallel import make_mesh
+
+            n_dev = opt.devices or jax.device_count()
+            mesh = make_mesh(n_dev, 1, jax.devices()[:n_dev])
+            print(f"Training on mesh {dict(mesh.shape)}")
+        trainer = VAETrainer(vae, loss, learning_rate=lr, mesh=mesh, **common)
     else:
         from versband_tpu.train.trainer import CFMTrainer
 

@@ -11,11 +11,8 @@ plain numpy pytrees ready for ``jax.device_put``.
 from __future__ import annotations
 
 import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
-
-import numpy as np
 
 from versband_tpu.data.sampler import IndexBatchSampler
 from versband_tpu.utils.config import instantiate_from_config

@@ -9,8 +9,7 @@ table; train/valid head-split; test-name deduplication by ``_<n>`` suffixing
 from __future__ import annotations
 
 import glob
-import os
-from typing import List, Optional
+from typing import List
 
 import pandas as pd
 

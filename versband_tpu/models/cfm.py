@@ -20,7 +20,6 @@ taking explicit params/PRNG keys.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Callable, Dict, Optional, Tuple
 

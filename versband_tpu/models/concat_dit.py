@@ -18,7 +18,7 @@ DiffusionWrapper contract as the MoE backbones.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

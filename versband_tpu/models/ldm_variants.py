@@ -17,7 +17,7 @@ Re-designs of:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +25,7 @@ import flax.linen as fnn
 import numpy as np
 
 from versband_tpu.models.samplers import (
-    DDIMSampler, ddpm_sample_loop, predict_start_from_noise, q_posterior,
-    q_sample)
+    predict_start_from_noise, q_posterior, q_sample)
 from versband_tpu.models.schedules import DiffusionSchedule
 
 Array = jax.Array

@@ -21,7 +21,7 @@ Model signature everywhere: ``apply_fn(params, x, t, context) -> (eps, aux)``
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

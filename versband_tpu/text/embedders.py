@@ -23,7 +23,6 @@ deterministic hashing tokenizer.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Dict, List, Optional, Sequence
 

@@ -19,8 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from versband_tpu.utils.checkpoint import (
-    load_npz_params, save_npz_params, merge_matching)
+from versband_tpu.utils.checkpoint import load_npz_params, merge_matching
 
 
 class CheckpointManager:

@@ -9,12 +9,11 @@ gradient all-reduce plus TP/EP collectives (see versband_tpu.parallel).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from versband_tpu.models.cfm import CFM, cfm_p_losses
 from versband_tpu.parallel.sharding import (

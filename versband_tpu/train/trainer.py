@@ -107,7 +107,7 @@ class BaseTrainer:
 class VAETrainer(BaseTrainer):
     """Stage-1 trainer (``AutoencoderKL.training_step`` semantics)."""
 
-    def __init__(self, vae, loss, learning_rate: float, **kw):
+    def __init__(self, vae, loss, learning_rate: float, mesh=None, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adam
         from versband_tpu.train.vae_step import (
@@ -116,8 +116,21 @@ class VAETrainer(BaseTrainer):
         self.vae = vae
         self.loss = loss
         self.lr = learning_rate
+        self.mesh = mesh  # data-parallel mesh for stage 1 (params replicated)
         self.tx = make_adam(learning_rate, betas=(0.5, 0.9))
-        self.train_step = jax.jit(make_vae_train_step(vae, loss))
+        raw_step = make_vae_train_step(vae, loss)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._rep = rep
+            self.train_step = jax.jit(
+                raw_step, in_shardings=(rep, rep, {"image": data}, rep),
+                out_shardings=(rep, rep, rep))
+        else:
+            self._rep = None
+            self.train_step = jax.jit(raw_step)
         self.eval_step = jax.jit(make_vae_eval_step(vae, loss))
         self.gen_state: Optional[TrainState] = None
         self.disc_state: Optional[TrainState] = None
@@ -130,6 +143,9 @@ class VAETrainer(BaseTrainer):
         loss_params = self.loss.init(k3, mel, method="disc_forward")
         self.gen_state = TrainState.create(vae_params, self.tx)
         self.disc_state = TrainState.create(loss_params, self.tx)
+        if self._rep is not None:
+            self.gen_state = jax.device_put(self.gen_state, self._rep)
+            self.disc_state = jax.device_put(self.disc_state, self._rep)
 
     def save_checkpoint(self, name: str):
         state = {"gen": self.gen_state, "disc": self.disc_state}

@@ -11,7 +11,7 @@ Covers the training side of the vocoder deliverables (SURVEY.md §2.8):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import flax.linen as fnn
 import numpy as np
 
 from versband_tpu.vocoder.conv import (
-    LRELU_SLOPE, WNConv1d, WNConvTranspose1d, fold_weight_norm, get_padding)
+    LRELU_SLOPE, WNConv1d, WNConvTranspose1d, fold_weight_norm)
 
 Array = jax.Array
 
