@@ -97,3 +97,28 @@ def test_cfg_batch_doubling_path(schedule):
                        unconditional_guidance_scale=3.0,
                        unconditional_conditioning={"c": jnp.ones((1, 4))})
     np.testing.assert_allclose(np.asarray(x), mu, atol=0.1)
+
+
+def test_ddpm_p_losses_eps_and_x0(schedule):
+    from versband_tpu.models.samplers import ddpm_p_losses
+
+    def zero_model(params, x, t, ctx):
+        return jnp.zeros_like(x), 0.0
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 3, 8))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    t = jnp.array([10, 500])
+    # eps-param with a zero model: loss_simple == mean(noise^2) per item
+    loss, parts = ddpm_p_losses(zero_model, None, schedule, x0, t, None, noise)
+    expect = float((noise ** 2).mean())
+    np.testing.assert_allclose(float(parts["loss_simple"]), expect, rtol=1e-5)
+    # x0-param: loss_simple == mean(x0^2)
+    loss2, parts2 = ddpm_p_losses(zero_model, None, schedule, x0, t, None,
+                                  noise, parameterization="x0")
+    np.testing.assert_allclose(float(parts2["loss_simple"]),
+                               float((x0 ** 2).mean()), rtol=1e-5)
+    # elbo weighting finite
+    loss3, parts3 = ddpm_p_losses(zero_model, None, schedule, x0, t, None,
+                                  noise, original_elbo_weight=0.1)
+    assert np.isfinite(float(parts3["loss_vlb"]))

@@ -183,6 +183,12 @@ def main(argv: List[str] = None) -> int:
 
     if opt.train:
         trainer.fit(datamodule, resume=bool(opt.resume))
+        if not opt.no_test:
+            # trainer.test after fit unless --no-test (main.py:866-870)
+            try:
+                trainer.test(datamodule)
+            except Exception as e:
+                print(f"test pass skipped: {e}")
     return 0
 
 

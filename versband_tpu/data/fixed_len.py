@@ -45,7 +45,10 @@ class JoinManifestSpecs:
         return item
 
     def collater(self, inputs):
-        return {"image": np.stack([i["image"] for i in inputs])}
+        out = {"image": np.stack([i["image"] for i in inputs])}
+        if "f_name" in inputs[0]:
+            out["f_name"] = [i["f_name"] for i in inputs]
+        return out
 
     def load_batch(self, idxs):
         """Batched fast path: mel crops via the native C++ loader (GIL-free
@@ -78,7 +81,10 @@ class JoinManifestSpecs:
         for i, r in enumerate(rows):
             if lengths[i] < self.batch_max_length:
                 batch[i] = self[int(idxs[i])]["image"]
-        return {"image": batch}
+        out = {"image": batch}
+        if self.split == "test":
+            out["f_name"] = [r["name"] for r in rows]
+        return out
 
     def __len__(self) -> int:
         return len(self.dataset)

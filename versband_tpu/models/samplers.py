@@ -62,6 +62,32 @@ def q_posterior(schedule: DiffusionSchedule, x_start: Array, x_t: Array,
     return mean, var, log_var
 
 
+def ddpm_p_losses(apply_fn: Callable, params, schedule: DiffusionSchedule,
+                  x_start: Array, t: Array, context, noise: Array,
+                  parameterization: str = "eps", loss_type: str = "l2",
+                  l_simple_weight: float = 1.0,
+                  original_elbo_weight: float = 0.0) -> Tuple[Array, dict]:
+    """Classic DDPM training loss (``ddpm.py:290-340``): q_sample then predict
+    eps (or x0), simple MSE/L1 + optional VLB term weighted by
+    posterior-variance coefficients."""
+    x_noisy = q_sample(schedule, x_start, t, noise)
+    out, _ = apply_fn(params, x_noisy, t.astype(jnp.float32), context)
+    target = noise if parameterization == "eps" else x_start
+    err = (out - target) ** 2 if loss_type == "l2" else jnp.abs(out - target)
+    loss_simple = err.mean(axis=tuple(range(1, err.ndim)))
+    # lvlb weights (ddpm.py:160-167): eps-param variance weighting
+    betas = jnp.asarray(schedule.betas)
+    ac = jnp.asarray(schedule.alphas_cumprod)
+    pv = jnp.asarray(schedule.posterior_variance)
+    lvlb_w = betas ** 2 / (2 * pv * (1.0 - betas) * (1.0 - ac))
+    lvlb_w = lvlb_w.at[0].set(lvlb_w[1])
+    loss_vlb = (lvlb_w[t] * loss_simple).mean()
+    loss = l_simple_weight * loss_simple.mean() \
+        + original_elbo_weight * loss_vlb
+    return loss, {"loss_simple": loss_simple.mean(), "loss_vlb": loss_vlb,
+                  "loss": loss}
+
+
 def ddpm_sample_loop(apply_fn: Callable, params, schedule: DiffusionSchedule,
                      shape: Tuple[int, ...], context, key: jax.Array,
                      parameterization: str = "eps",

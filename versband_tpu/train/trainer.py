@@ -208,6 +208,37 @@ class VAETrainer(BaseTrainer):
             self._dispatch("on_exception")
             raise
 
+    def test(self, datamodule):
+        """Post-fit test pass (``autoencoder1d.py:111-135``): reconstruction
+        MSE + per-item recon npy dumps under ``<logdir>/output_imgs``."""
+        try:
+            loader = datamodule.test_dataloader()
+        except Exception:
+            print("no test split configured")
+            return {}
+        savedir = os.path.join(self.logdir, "output_imgs", "fake_class")
+        os.makedirs(savedir, exist_ok=True)
+        mses, count = [], 0
+        for batch in loader:
+            batch = pad_batch_time(batch, self.time_bucket)
+            mel = jnp.asarray(batch["image"])
+            self.key, k = jax.random.split(self.key)
+            recon, _ = self.vae.apply(self.gen_state.params, mel,
+                                      rngs={"gaussian": k})
+            mses.append(float(jnp.mean((recon - mel) ** 2)))
+            names = batch.get("f_name") or batch.get("name") or \
+                [str(count + i) for i in range(mel.shape[0])]
+            for b, name in enumerate(names):
+                base = str(name)[: str(name).rfind("_")] or str(name)
+                np.save(os.path.join(savedir, f"{base}.npy"),
+                        np.asarray(recon[b]))
+                count += 1
+        metrics = {"test/mse_loss": float(np.mean(mses)) if mses else 0.0}
+        self.log_metrics(metrics, self.global_step, "")
+        print(f"test: {count} reconstructions -> {savedir}, "
+              f"mse={metrics['test/mse_loss']:.5f}")
+        return metrics
+
     def log_images(self, batch) -> Dict[str, np.ndarray]:
         """inputs / reconstructions / prior samples (``autoencoder1d.py:
         155-162``)."""
@@ -364,6 +395,26 @@ class CFMTrainer(BaseTrainer):
         mel = self.cfm.decode_first_stage(self.vae_params, z)
         return {"inputs": np.asarray(db["image"][:B]),
                 "samples": np.asarray(mel)}
+
+    def test(self, datamodule):
+        """Post-fit test pass (``ddpm_audio.py:423-430``): sample + decode per
+        test item, saving mels under ``<logdir>/output_samples``."""
+        try:
+            loader = datamodule.test_dataloader()
+        except Exception:
+            print("no test split configured")
+            return {}
+        savedir = os.path.join(self.logdir, "output_samples")
+        os.makedirs(savedir, exist_ok=True)
+        count = 0
+        for batch in loader:
+            images = self.log_images(batch)
+            for b in range(images["samples"].shape[0]):
+                np.save(os.path.join(savedir, f"sample_{count:05d}.npy"),
+                        images["samples"][b])
+                count += 1
+        print(f"test: {count} samples -> {savedir}")
+        return {"test/num_samples": count}
 
     def _validate(self, val_loader):
         """val with EMA shadow weights when enabled (``ddpm.py:357-364``)."""
