@@ -151,3 +151,28 @@ def test_fold_weight_norm_matches_torch():
                 conv.weight_v, dim=(1, 2), keepdim=True))
     np.testing.assert_allclose(folded["up.weight"],
                                expected.detach().numpy(), atol=1e-6)
+
+
+def test_mha_in_proj_split_parity():
+    """Band-MOE cross-attention is torch nn.MultiheadAttention: the packed
+    in_proj must split into wq/wk/wv and reproduce outputs exactly."""
+    import torch.nn as nn
+
+    from versband_tpu.models.dit import CaptionCrossAttention
+
+    d, heads = 16, 2
+    torch.manual_seed(0)
+    mha = nn.MultiheadAttention(d, heads, batch_first=True)
+    sd = {f"layers.0.feed_forward.cross_attention.{k}": v.detach().numpy()
+          for k, v in mha.state_dict().items()}
+    ca = convert_state_dict(sd, "dit")["params"]["blocks_0"]["feed_forward"][
+        "cross_attention"]
+    assert set(ca) == {"wq", "wk", "wv", "wo"}
+
+    x = torch.randn(1, 6, d)
+    ctx = torch.randn(1, 3, d)
+    with torch.no_grad():
+        ref, _ = mha(x, ctx, ctx)
+    out = CaptionCrossAttention(d, heads).apply(
+        {"params": ca}, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)

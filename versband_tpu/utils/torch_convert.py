@@ -190,6 +190,11 @@ DIT_RULES: List[Rule] = [
      r"blocks_\1/feed_forward/acoustic_gate/\2", None),
     (r"layers\.(\d+)\.feed_forward\.gating_network\.(.+)$",
      r"blocks_\1/feed_forward/high_level_gate/\2", None),
+    # nn.MultiheadAttention packs qkv into in_proj_weight/bias — split below
+    (r"layers\.(\d+)\.feed_forward\.cross_attention\.in_proj_(weight|bias)$",
+     r"blocks_\1/feed_forward/cross_attention/IN_PROJ_\2", None),
+    (r"layers\.(\d+)\.feed_forward\.cross_attention\.out_proj\.(.+)$",
+     r"blocks_\1/feed_forward/cross_attention/wo/\2", None),
     (r"layers\.(\d+)\.feed_forward\.cross_attention\.(.+)$",
      r"blocks_\1/feed_forward/cross_attention/\2", None),
     (r"final_layer\.adaLN_modulation\.1\.(.+)$",
@@ -269,6 +274,17 @@ def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
     for stack_key, parts in experts.items():
         order = sorted(parts)
         flat[stack_key] = np.stack([parts[i] for i in order])  # [E, in, out]
+
+    # split packed nn.MultiheadAttention in_proj into wq/wk/wv
+    for key in [k for k in list(flat) if "/IN_PROJ_" in k]:
+        w = flat.pop(key)
+        base, kind = key.rsplit("/IN_PROJ_", 1)
+        parts3 = np.split(w, 3, axis=0)  # torch packs [3d, ...] q,k,v
+        for name, part in zip(("wq", "wk", "wv"), parts3):
+            if kind.startswith("kernel") or kind == "weight":
+                flat[f"{base}/{name}/kernel"] = linear_w(part)
+            else:
+                flat[f"{base}/{name}/bias"] = part
 
     return {"params": unflatten_params(flat)}
 
