@@ -90,9 +90,12 @@ class LambdaLinearScheduler(LambdaWarmUpCosineScheduler2):
     def __call__(self, step):
         step = jnp.asarray(step, jnp.float32)
         w = max(self.warm_up_steps[0], 1)
+        # float arithmetic throughout: the shipped cycle length is 1e13,
+        # which overflows int32 under jit weak-typing
+        cl = float(self.cycle_lengths[0])
         warm = (self.f_max[0] - self.f_start[0]) / w * step + self.f_start[0]
         decay = self.f_min[0] + (self.f_max[0] - self.f_min[0]) * (
-            self.cycle_lengths[0] - step) / self.cycle_lengths[0]
+            cl - step) / cl
         return jnp.where(step < w, warm, decay)
 
 

@@ -22,16 +22,23 @@ from versband_tpu.train.state import TrainState
 
 
 def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None
-                        ) -> Callable[[TrainState, Dict[str, Any], jax.Array],
-                                      Tuple[TrainState, Dict[str, jax.Array]]]:
+                        ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the CFM train step.
 
     ``batch``: {'image': mel [B,80,T] (if a frozen VAE is attached) or
     'latent': [B,C,T_lat], 'caption': text embedding [B,Ty,E],
     'midi': [B,1,T], 'beats': [B,1,T]}.
-    """
 
-    def step_fn(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+    The frozen VAE params are passed to the returned step as a jit ARGUMENT
+    (falling back to the ones bound here) — closing over the full-size VAE
+    would bake ~100M constants into the HLO (and overflow remote-compile
+    upload limits).
+    """
+    bound_vae_params = vae_params
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], key: jax.Array,
+                vae_params: Optional[Any] = None):
+        vae_params = vae_params if vae_params is not None else bound_vae_params
         key = jax.random.fold_in(key, state.step)
         k_enc, k_t, k_loss = jax.random.split(key, 3)
 
@@ -106,9 +113,13 @@ def shard_train_step(step_fn: Callable, state: TrainState, batch_example: Any,
     # in-process collectives deadlocks the thunk rendezvous (observed on the
     # 8-device virtual mesh), so donate only on real hardware.
     donate = (0,) if jax.default_backend() == "tpu" else ()
+
+    def step_with_vae(state, batch, key, vae_params=None):
+        return step_fn(state, batch, key, vae_params)
+
     jitted = jax.jit(
-        step_fn,
-        in_shardings=(st_shardings, b_shardings, rep),
+        step_with_vae,
+        in_shardings=(st_shardings, b_shardings, rep, rep),
         out_shardings=(st_shardings, rep),
         donate_argnums=donate,
     )

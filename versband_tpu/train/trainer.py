@@ -273,7 +273,8 @@ class CFMTrainer(BaseTrainer):
         self.tx = make_adamw(lr, grad_clip=grad_clip)
         self.use_ema = use_ema
         self.mesh = mesh  # jax.sharding.Mesh -> pjit over (data, model)
-        self._raw_step = make_cfm_train_step(cfm, vae_params)
+        # vae_params travel as a jit argument (not closure constants)
+        self._raw_step = make_cfm_train_step(cfm)
         self.train_step = jax.jit(self._raw_step) if mesh is None else None
         self._place_state = self._place_batch = None
         self.state: Optional[TrainState] = None
@@ -358,7 +359,8 @@ class CFMTrainer(BaseTrainer):
                     if self._place_batch is not None:
                         db = self._place_batch(db)
                     self.key, k = jax.random.split(self.key)
-                    self.state, metrics = self.train_step(self.state, db, k)
+                    self.state, metrics = self.train_step(
+                        self.state, db, k, self.vae_params)
                     self.global_step = int(self.state.step)
                     self.log_metrics(metrics, self.global_step, "train/")
                     self._dispatch("on_train_batch_end", batch, metrics,
