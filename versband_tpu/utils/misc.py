@@ -26,6 +26,33 @@ def count_params(params, verbose: bool = False) -> int:
     return total
 
 
+def download_checkpoint(url: str, local_path: str,
+                        expected_md5: str = None) -> str:
+    """Fetch a checkpoint with optional md5 verification
+    (``ldm/util.py`` ckpt download helper). No-op if the file already exists
+    and matches; raises on hash mismatch."""
+    import hashlib
+    import os
+    import urllib.request
+
+    def md5(path):
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    if os.path.exists(local_path) and (
+            expected_md5 is None or md5(local_path) == expected_md5):
+        return local_path
+    os.makedirs(os.path.dirname(os.path.abspath(local_path)), exist_ok=True)
+    print(f"Downloading {url} -> {local_path}")
+    urllib.request.urlretrieve(url, local_path)
+    if expected_md5 is not None and md5(local_path) != expected_md5:
+        raise ValueError(f"md5 mismatch for {local_path}")
+    return local_path
+
+
 def log_txt_as_img(wh: Sequence[int], xc: Sequence[str]) -> np.ndarray:
     """Render caption strings into [B, 3, H, W] float arrays in [-1, 1]
     (``ldm/util.py:22-39``) for image loggers."""
