@@ -1,0 +1,276 @@
+"""Full tiny Band-MOE DiT torch parity.
+
+A torch replica built with the REFERENCE's module naming
+(``vocal2music_moe.py``: layers.N.attention.wq, feed_forward.*_experts.i.wN,
+high_level_gating_network, cross_attention (nn.MultiheadAttention),
+adaLN_modulation.1, midi/beats stems, final_layer) is converted through the
+'dit' rules and must reproduce the flax ``BandMoeDiT`` forward.
+
+Parity is defined on DETERMINISTIC evaluation (SURVEY.md §7.3 item 1): both
+sides run Gumbel-softmax WITHOUT noise (softmax for the high-level gate,
+argmax one-hot for the per-token expert choice). The reference adds Gumbel
+noise even at eval, which makes bit-parity impossible by construction — the
+deterministic limit is the comparable quantity.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from versband_tpu.models.dit import BandMoeDiT
+from versband_tpu.utils.torch_convert import convert_state_dict
+
+D, HEADS, DEPTH, E = 16, 2, 1, 2
+ORI, MULT = 12, 8
+MIDI_V, BEATS_V = 130, 3
+
+
+def swiglu_hidden(dim, multiple_of=MULT):
+    h = int(2 * dim / 3)
+    return multiple_of * ((h + multiple_of - 1) // multiple_of)
+
+
+class TRMSNorm(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        xf = x.float()
+        n = xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + 1e-5)
+        return n.type_as(x) * self.weight
+
+
+class TFeedForward(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        h = swiglu_hidden(hidden)
+        self.w1 = nn.Linear(dim, h, bias=False)
+        self.w2 = nn.Linear(h, dim, bias=False)
+        self.w3 = nn.Linear(dim, h, bias=False)
+
+    def forward(self, x):
+        return self.w2(F.silu(self.w1(x)) * self.w3(x))
+
+
+class TAttention(nn.Module):
+    """Reference Attention: RoPE complex multiply + zero-init tanh-gated
+    cross (``flag_large_dit_moe.py:163-406``), SDPA path."""
+
+    def __init__(self, dim, heads, y_dim):
+        super().__init__()
+        self.heads = heads
+        self.hd = dim // heads
+        self.wq = nn.Linear(dim, dim, bias=False)
+        self.wk = nn.Linear(dim, dim, bias=False)
+        self.wv = nn.Linear(dim, dim, bias=False)
+        self.wo = nn.Linear(dim, dim, bias=False)
+        self.wk_y = nn.Linear(y_dim, dim, bias=False)
+        self.wv_y = nn.Linear(y_dim, dim, bias=False)
+        self.gate = nn.Parameter(torch.zeros(heads))
+
+    @staticmethod
+    def rope(x, freqs_cis):
+        xc = torch.view_as_complex(x.float().reshape(*x.shape[:-1], -1, 2))
+        out = torch.view_as_real(xc * freqs_cis[: x.shape[1]][None, :, None])
+        return out.flatten(3).type_as(x)
+
+    def forward(self, x, y, freqs_cis):
+        B, T, _ = x.shape
+        q = self.wq(x).view(B, T, self.heads, self.hd)
+        k = self.wk(x).view(B, T, self.heads, self.hd)
+        v = self.wv(x).view(B, T, self.heads, self.hd)
+        q, k = self.rope(q, freqs_cis), self.rope(k, freqs_cis)
+        out = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2))
+        ky = self.wk_y(y).view(B, -1, self.heads, self.hd)
+        vy = self.wv_y(y).view(B, -1, self.heads, self.hd)
+        out_y = F.scaled_dot_product_attention(
+            q.transpose(1, 2), ky.transpose(1, 2), vy.transpose(1, 2))
+        out = out + torch.tanh(self.gate).view(1, -1, 1, 1) * out_y
+        return self.wo(out.transpose(1, 2).reshape(B, T, -1))
+
+
+class TMoE(nn.Module):
+    """Reference Band-MOE in its deterministic-eval limit."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.high_level_gating_network = nn.Linear(dim, 2)
+        self.caption_gating_network = nn.Linear(dim, E)
+        self.acoustic_gating_network = nn.Linear(dim, E)
+        self.caption_experts = nn.ModuleDict(
+            {str(i): TFeedForward(dim, dim) for i in range(E)})
+        self.acoustic_experts = nn.ModuleDict(
+            {str(i): TFeedForward(dim, dim) for i in range(E)})
+        self.freq_experts = nn.ModuleDict(
+            {str(i): TFeedForward(dim, dim) for i in range(E)})
+        self.cross_attention = nn.MultiheadAttention(dim, 8, batch_first=True)
+
+    def forward(self, x, t_emb, caption, acoustic):
+        B, T, dim = x.shape
+        cap_feat, _ = self.cross_attention(x, caption, caption)
+        hl = torch.softmax(self.high_level_gating_network(t_emb), -1)
+        cap_mask = hl[:, 0].view(B, 1, 1)
+        ac_mask = hl[:, 1].view(B, 1, 1)
+        # deterministic hard routing: one-hot argmax (tau irrelevant)
+        cap_p = F.one_hot(self.caption_gating_network(cap_feat).argmax(-1),
+                          E).float()
+        ac_p = F.one_hot(self.acoustic_gating_network(acoustic).argmax(-1),
+                         E).float()
+        y = torch.zeros_like(x)
+        for i in range(E):
+            y = y + self.caption_experts[str(i)](x) * \
+                cap_p[..., i:i + 1] * cap_mask
+            y = y + self.acoustic_experts[str(i)](x) * \
+                ac_p[..., i:i + 1] * ac_mask
+        band = dim // E
+        z = torch.zeros_like(y)
+        for i in range(E):
+            region = torch.zeros_like(y)
+            region[:, :, band * i: band * (i + 1)] = 1.0
+            z[:, :, band * i: band * (i + 1)] = self.freq_experts[str(i)](
+                y * region)[:, :, band * i: band * (i + 1)]
+        return z
+
+
+class TBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.attention = TAttention(dim, heads, dim)
+        self.feed_forward = TMoE(dim)
+        self.attention_norm = TRMSNorm(dim)
+        self.ffn_norm = TRMSNorm(dim)
+        self.attention_y_norm = TRMSNorm(dim)
+        self.adaLN_modulation = nn.Sequential(nn.SiLU(),
+                                              nn.Linear(dim, 6 * dim))
+
+    def forward(self, x, y, freqs_cis, adaln, t_emb, acoustic):
+        mods = self.adaLN_modulation(adaln).chunk(6, dim=1)
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = mods
+
+        def modulate(h, shift, scale):
+            return h * (1 + scale.unsqueeze(1)) + shift.unsqueeze(1)
+
+        h = x + g_msa.unsqueeze(1) * self.attention(
+            modulate(self.attention_norm(x), s_msa, sc_msa),
+            self.attention_y_norm(y), freqs_cis)
+        out = self.feed_forward(
+            modulate(self.ffn_norm(h), s_mlp, sc_mlp), t_emb, y, acoustic)
+        return h + g_mlp.unsqueeze(1) * out
+
+
+class TTimestepEmbedder(nn.Module):
+    def __init__(self, dim, freq=256):
+        super().__init__()
+        self.freq = freq
+        self.mlp = nn.Sequential(nn.Linear(freq, dim), nn.SiLU(),
+                                 nn.Linear(dim, dim))
+
+    def forward(self, t):
+        half = self.freq // 2
+        freqs = torch.exp(-math.log(10000) *
+                          torch.arange(half, dtype=torch.float32) / half)
+        args = t.float()[:, None] * freqs[None]
+        emb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+        return self.mlp(emb)
+
+
+class TConditionEmbedder(nn.Module):
+    def __init__(self, dim, ctx):
+        super().__init__()
+        self.mlp = nn.Sequential(nn.Linear(ctx, dim), nn.GELU(),
+                                 nn.Linear(dim, dim))
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, x):
+        return self.norm(self.mlp(x))
+
+
+class TDiT(nn.Module):
+    """Tiny TxtFlagLargeImprovedDiTV2 with reference names."""
+
+    def __init__(self):
+        super().__init__()
+        self.t_embedder = TTimestepEmbedder(D)
+        self.c_embedder = TConditionEmbedder(D, ORI)
+        self.cap_embedder = nn.Sequential(nn.LayerNorm(D), nn.Linear(D, D))
+        self.midi_embedding = nn.Embedding(MIDI_V, D)
+        self.beats_embedding = nn.Embedding(BEATS_V, D)
+        self.midi_proj = nn.Sequential(nn.Conv1d(D, D, 5, padding=2))
+        self.beats_proj = nn.Sequential(nn.Conv1d(D, D, 5, padding=2))
+        self.final_proj = nn.Conv1d(D, D, 1)
+        self.proj_in = nn.Conv1d(4, D, 5, padding=2)
+        self.layers = nn.ModuleList([TBlock(D, HEADS) for _ in range(DEPTH)])
+        self.final_layer = nn.Module()
+        self.final_layer.adaLN_modulation = nn.Sequential(
+            nn.SiLU(), nn.Linear(D, 2 * D))
+        self.final_layer.linear = nn.Linear(D, 4)
+        self.norm_final = nn.LayerNorm(D, elementwise_affine=False, eps=1e-6)
+
+        hd = D // HEADS
+        freqs = 1.0 / (10000 ** (torch.arange(0, hd, 2).float() / hd))
+        t = torch.arange(64).float()
+        self.freqs_cis = torch.polar(torch.ones(64, hd // 2),
+                                     torch.outer(t, freqs))
+
+    def forward(self, x, t, midi, beats, caption):
+        me = self.midi_proj(self.midi_embedding(midi).transpose(1, 2))
+        me = F.avg_pool1d(F.leaky_relu(me, 0.01), 2)
+        be = self.beats_proj(self.beats_embedding(beats).transpose(1, 2))
+        be = F.avg_pool1d(F.leaky_relu(be, 0.01), 2)
+        acoustic = self.final_proj(me + be).transpose(1, 2)  # [B, T/2, D]
+        h = self.proj_in(x).transpose(1, 2)
+        T = h.shape[1]
+        acoustic = acoustic[:, :T]
+        t_emb = self.t_embedder(t)
+        cap = self.c_embedder(caption)
+        cap_emb = self.cap_embedder(cap.mean(1))
+        adaln = t_emb + cap_emb
+        h = acoustic + h
+        for blk in self.layers:
+            h = blk(h, cap, self.freqs_cis, adaln, t_emb, acoustic)
+        mods = self.final_layer.adaLN_modulation(adaln).chunk(2, dim=1)
+        h = self.norm_final(h) * (1 + mods[1].unsqueeze(1)) \
+            + mods[0].unsqueeze(1)
+        return self.final_layer.linear(h).transpose(1, 2)
+
+
+def test_band_moe_dit_full_parity():
+    torch.manual_seed(0)
+    tm = TDiT().eval()
+    # convert, mapping the torch leaky_relu+pool stem convention:
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if "freqs_cis" not in k}
+    params = convert_state_dict(sd, "dit")
+
+    model = BandMoeDiT(in_channels=4, context_dim=D, hidden_size=D,
+                       depth=DEPTH, num_heads=HEADS, max_len=64,
+                       num_experts=E, ori_dim=ORI, multiple_of=MULT)
+
+    rng = np.random.RandomState(0)
+    B, T_mel = 2, 16
+    x = rng.randn(B, 4, T_mel // 2).astype(np.float32)
+    t = np.array([17.0, 800.0], np.float32)
+    midi = rng.randint(0, MIDI_V, (B, T_mel)).astype(np.int64)
+    beats = rng.randint(0, BEATS_V, (B, T_mel)).astype(np.int64)
+    caption = rng.randn(B, 5, ORI).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(t),
+                 torch.from_numpy(midi), torch.from_numpy(beats),
+                 torch.from_numpy(caption)).numpy()
+
+    ctx = {"c_concat": {"midi": jnp.asarray(midi)[:, None, :],
+                        "beats": jnp.asarray(beats)[:, None, :]},
+           "c_crossattn": jnp.asarray(caption)}
+    out, lb = model.apply(params, jnp.asarray(x), jnp.asarray(t), ctx,
+                          train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)

@@ -174,11 +174,13 @@ DIT_RULES: List[Rule] = [
     (r"layers\.(\d+)\.attention\.(wq|wk|wv|wo|wk_y|wv_y)\.(.+)$",
      r"blocks_\1/attention/\2/\3", None),
     (r"layers\.(\d+)\.attention\.gate$", r"blocks_\1/attention/gate", None),
+    # RMSNorm params are literally named "weight" in flax too — the W_
+    # sentinel shields them from the generic weight->kernel suffix rewrite
     (r"layers\.(\d+)\.attention_norm\.weight$",
-     r"blocks_\1/attention_norm/weight", None),
+     r"blocks_\1/attention_norm/W_", None),
     (r"layers\.(\d+)\.attention_y_norm\.weight$",
-     r"blocks_\1/attention_y_norm/weight", None),
-    (r"layers\.(\d+)\.ffn_norm\.weight$", r"blocks_\1/ffn_norm/weight", None),
+     r"blocks_\1/attention_y_norm/W_", None),
+    (r"layers\.(\d+)\.ffn_norm\.weight$", r"blocks_\1/ffn_norm/W_", None),
     (r"layers\.(\d+)\.adaLN_modulation\.1\.(.+)$",
      r"blocks_\1/adaLN_modulation/\2", None),
     # Band-MOE internals (experts handled by the stacker below)
@@ -188,7 +190,7 @@ DIT_RULES: List[Rule] = [
      r"blocks_\1/feed_forward/caption_gate/\2", None),
     (r"layers\.(\d+)\.feed_forward\.acoustic_gating_network\.(.+)$",
      r"blocks_\1/feed_forward/acoustic_gate/\2", None),
-    (r"layers\.(\d+)\.feed_forward\.gating_network\.(.+)$",
+    (r"layers\.(\d+)\.feed_forward\.high_level_gating_network\.(.+)$",
      r"blocks_\1/feed_forward/high_level_gate/\2", None),
     # nn.MultiheadAttention packs qkv into in_proj_weight/bias — split below
     (r"layers\.(\d+)\.feed_forward\.cross_attention\.in_proj_(weight|bias)$",
@@ -247,7 +249,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
             flat[std] = _auto_layout(std, w)
             continue
         new, transposed = hit
-        new = _std_suffix(new)
+        new = _std_suffix(new).replace("/W_", "/weight")
         if "@" in new:
             if "resblocks@" in new:
                 # flat index i*num_kernels + j -> resblocks_{i}_{j}
