@@ -63,6 +63,30 @@ def test_sampler_rank_striding():
     assert not (set(map(tuple, b0)) & set(map(tuple, b1)))
 
 
+def test_sampler_exact_batch_per_replica():
+    # len(batches) == num_replicas must still rank-stride (each rank gets its
+    # own disjoint batch), not collapse every rank onto batches[0].
+    idx = list(range(8))
+    parts = [list(IndexBatchSampler(idx, 2, num_replicas=4, rank=r,
+                                    shuffle=False)) for r in range(4)]
+    assert all(len(p) == 1 for p in parts)
+    flat = sorted(i for p in parts for b in p for i in b)
+    assert flat == idx
+
+
+def test_sampler_fewer_batches_than_replicas_and_empty():
+    # 1 batch, 4 replicas: every rank sees exactly one batch (wrap-around) so
+    # collectives stay in lockstep.
+    parts = [list(IndexBatchSampler([0, 1], 2, num_replicas=4, rank=r,
+                                    shuffle=False)) for r in range(4)]
+    assert all(p == [[0, 1]] for p in parts)
+    # Empty index list must yield zero batches, not IndexError.
+    assert list(IndexBatchSampler([], 2, num_replicas=4, rank=0)) == []
+    # drop_last trimming to zero batches is also safe.
+    assert list(IndexBatchSampler([0, 1, 2], 2, num_replicas=4, rank=1,
+                                  drop_last=True)) == []
+
+
 def test_sampler_epoch_shuffle_deterministic():
     idx = list(range(16))
     a = IndexBatchSampler(idx, 4, num_replicas=1, rank=0, shuffle=True, seed=3)

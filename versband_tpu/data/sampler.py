@@ -52,10 +52,14 @@ class IndexBatchSampler:
         batches = self._build_batches()
         if drop_last and len(batches) % num_replicas:
             batches = batches[: len(batches) // num_replicas * num_replicas]
-        if len(batches) > num_replicas:
+        if len(batches) >= num_replicas:
             batches = batches[rank::num_replicas]
-        else:  # sanity-check epochs with fewer batches than replicas
-            batches = [batches[0]]
+        elif batches:
+            # Fewer batches than replicas (sanity-check epochs): wrap around so
+            # every rank still sees exactly one batch and collectives stay in
+            # lockstep; ranks beyond len(batches) reuse earlier batches.
+            batches = [batches[rank % len(batches)]]
+        # else: empty dataset/epoch → zero batches on every rank.
         self._all_batches = batches
         self.batches = self._shuffled(batches)
 

@@ -66,6 +66,14 @@ NpyInfo map_npy(const char* path) {
     header_len = p[8] | (p[9] << 8) | (size_t(p[10]) << 16) | (size_t(p[11]) << 24);
     header_off = 12;
   }
+  // Bound-check the declared header against the real file size BEFORE
+  // touching it: a truncated/corrupted file must fall into the caller's
+  // lengths[i] = -1 fallback, not read out of the mapping.
+  const size_t file_size = (size_t)st.st_size;
+  if (header_len > file_size || header_off > file_size - header_len) {
+    munmap(map, st.st_size);
+    return info;
+  }
   std::string header(reinterpret_cast<const char*>(p + header_off), header_len);
   if (header.find("'<f4'") == std::string::npos ||
       header.find("'fortran_order': False") == std::string::npos) {
@@ -75,7 +83,16 @@ NpyInfo map_npy(const char* path) {
   size_t sp = header.find("'shape': (");
   if (sp == std::string::npos) { munmap(map, st.st_size); return info; }
   long rows = 0, cols = 0;
-  if (sscanf(header.c_str() + sp, "'shape': (%ld, %ld)", &rows, &cols) != 2) {
+  if (sscanf(header.c_str() + sp, "'shape': (%ld, %ld)", &rows, &cols) != 2 ||
+      rows < 0 || cols < 0) {
+    munmap(map, st.st_size);
+    return info;
+  }
+  // Overflow-safe payload bound: hostile headers could make rows*cols*4 wrap.
+  const size_t avail = file_size - header_off - header_len;
+  const size_t urows = (size_t)rows, ucols = (size_t)cols;
+  if (urows != 0 &&
+      (ucols > SIZE_MAX / urows || urows * ucols > avail / sizeof(float))) {
     munmap(map, st.st_size);
     return info;
   }
@@ -84,7 +101,7 @@ NpyInfo map_npy(const char* path) {
   info.cols = cols;
   info.map = map;
   info.map_len = st.st_size;
-  info.ok = (size_t)(header_off + header_len + rows * cols * 4) <= (size_t)st.st_size;
+  info.ok = true;
   return info;
 }
 

@@ -107,11 +107,17 @@ def make_radam(learning_rate: float | Callable, betas=(0.9, 0.999),
                eps: float = 1e-8,
                weight_decay: float = 0.0) -> optax.GradientTransformation:
     """RAdam — the ParallelWaveGAN trainer's optimizer
-    (``vocoder/parallel_wavegan/optimizers/radam.py``)."""
-    tx = optax.radam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+    (``vocoder/parallel_wavegan/optimizers/radam.py``).
+
+    The reference applies classic L2 regularization — decay is added to the
+    GRADIENT before the adaptive update (``radam.py`` ``p.data`` term inside
+    step) — so the decay transform goes BEFORE radam, not after (decoupled
+    AdamW-style decay would follow a different trajectory)."""
+    chain = []
     if weight_decay:
-        tx = optax.chain(tx, optax.add_decayed_weights(weight_decay))
-    return tx
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.radam(learning_rate, b1=betas[0], b2=betas[1], eps=eps))
+    return optax.chain(*chain) if len(chain) > 1 else chain[0]
 
 
 def make_adam(learning_rate: float | Callable, betas=(0.5, 0.9),

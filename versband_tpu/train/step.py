@@ -86,23 +86,27 @@ def shard_train_step(step_fn: Callable, state: TrainState, batch_example: Any,
     p_shard = param_shardings(state.params, mesh)
     rep = replicated(mesh)
 
-    # optax states embed param-shaped pytrees (Adam moments), so optimizer-state
-    # leaves inherit the sharding of the same-shaped param; scalars replicate.
-    param_leaves = jax.tree_util.tree_leaves(state.params)
-    shard_leaves = jax.tree_util.tree_leaves(p_shard)
-    shape_map = {}
-    for pl_, sh in zip(param_leaves, shard_leaves):
-        shape_map.setdefault(pl_.shape, sh)
+    # optax states embed param-STRUCTURED pytrees (Adam moments mirror the
+    # param tree), so match whole subtrees against the param treedef and give
+    # each moment exactly its param's sharding; everything else replicates.
+    # (Shape-keyed matching would mis-shard same-shaped params with different
+    # specs, e.g. a square wq P(None,'model') vs wo P('model',None).)
+    param_treedef = jax.tree_util.tree_structure(state.params)
 
-    def by_shape(x):
-        if getattr(x, "ndim", 0) == 0:
-            return rep
-        return shape_map.get(x.shape, rep)
+    def _is_param_tree(x):
+        try:
+            return jax.tree_util.tree_structure(x) == param_treedef
+        except Exception:
+            return False
+
+    opt_shardings = jax.tree_util.tree_map(
+        lambda sub: p_shard if _is_param_tree(sub) else rep,
+        state.opt_state, is_leaf=_is_param_tree)
 
     st_shardings = TrainState(
         step=rep,
         params=p_shard,
-        opt_state=jax.tree_util.tree_map(by_shape, state.opt_state),
+        opt_state=opt_shardings,
         tx=state.tx,
         ema=None if state.ema is None else state.ema.replace(
             num_updates=rep, shadow=p_shard),
