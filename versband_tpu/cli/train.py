@@ -157,7 +157,9 @@ def main(argv: List[str] = None) -> int:
             n_dev = opt.devices or jax.device_count()
             mesh = make_mesh(n_dev, 1, jax.devices()[:n_dev])
             print(f"Training on mesh {dict(mesh.shape)}")
-        trainer = VAETrainer(vae, loss, learning_rate=lr, mesh=mesh, **common)
+        trainer = VAETrainer(vae, loss, learning_rate=lr, mesh=mesh,
+                             accumulate_grad_batches=opt.accumulate_grad_batches,
+                             **common)
     else:
         from versband_tpu.train.trainer import CFMTrainer
 
@@ -179,7 +181,8 @@ def main(argv: List[str] = None) -> int:
         trainer = CFMTrainer(
             cfm, vae_params, cfm.cond_stage, learning_rate=lr,
             use_ema=bool(model_cfg["params"].get("use_ema", False)),
-            scheduler=scheduler, mesh=mesh, **common)
+            scheduler=scheduler, mesh=mesh,
+            accumulate_grad_batches=opt.accumulate_grad_batches, **common)
 
     if opt.train:
         trainer.fit(datamodule, resume=bool(opt.resume))

@@ -79,7 +79,19 @@ class TrainState:
     def apply_gradients(self, grads) -> "TrainState":
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
         params = optax.apply_updates(self.params, updates)
-        ema = self.ema.update(params) if self.ema is not None else None
+        ema = self.ema
+        if ema is not None:
+            mini_step = getattr(opt_state, "mini_step", None)
+            if mini_step is None:
+                ema = ema.update(params)
+            else:
+                # Under optax.MultiSteps (gradient accumulation) the shadow
+                # moves only on micro-steps where the accumulated update is
+                # actually applied — Lightning updates EMA once per OPTIMIZER
+                # step (``ddpm.py:366-368``), not per micro-batch.
+                ema = jax.lax.cond(mini_step == 0,
+                                   lambda e: e.update(params),
+                                   lambda e: e, ema)
         return self.replace(step=self.step + 1, params=params,
                             opt_state=opt_state, ema=ema)
 
@@ -121,7 +133,11 @@ def make_radam(learning_rate: float | Callable, betas=(0.9, 0.999),
 
 
 def make_adam(learning_rate: float | Callable, betas=(0.5, 0.9),
-              eps: float = 1e-8) -> optax.GradientTransformation:
+              eps: float = 1e-8,
+              accumulate_grad_batches: int = 1) -> optax.GradientTransformation:
     """Adam with GAN betas (0.5, 0.9) for the VAE/discriminator pair
     (``autoencoder1d.py:137-146``)."""
-    return optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+    tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+    return tx

@@ -21,7 +21,8 @@ from versband_tpu.parallel.sharding import (
 from versband_tpu.train.state import TrainState
 
 
-def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None
+def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None,
+                        accumulate_grad_batches: int = 1,
                         ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the CFM train step.
 
@@ -33,8 +34,15 @@ def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None
     (falling back to the ones bound here) — closing over the full-size VAE
     would bake ~100M constants into the HLO (and overflow remote-compile
     upload limits).
+
+    With gradient accumulation the optimizer is an ``optax.MultiSteps`` that
+    applies every k micro-steps; ``state.step`` counts micro-steps (so RNG
+    folding stays unique per batch) while the MoE annealing schedules see
+    ``step // k`` — the reference's schedules tick per OPTIMIZER step
+    (Lightning ``global_step``, ``main.py:823-831``).
     """
     bound_vae_params = vae_params
+    accum = max(1, int(accumulate_grad_batches))
 
     def step_fn(state: TrainState, batch: Dict[str, Any], key: jax.Array,
                 vae_params: Optional[Any] = None):
@@ -59,7 +67,7 @@ def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None
             return cfm_p_losses(
                 cfm.model.apply, params, x_start, cond, t, noise,
                 sigma_min=cfm.sigma_min, num_timesteps=cfm.num_timesteps,
-                l_simple_weight=cfm.l_simple_weight, step=state.step,
+                l_simple_weight=cfm.l_simple_weight, step=state.step // accum,
                 gumbel_rng=k_gumbel)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -107,7 +107,8 @@ class BaseTrainer:
 class VAETrainer(BaseTrainer):
     """Stage-1 trainer (``AutoencoderKL.training_step`` semantics)."""
 
-    def __init__(self, vae, loss, learning_rate: float, mesh=None, **kw):
+    def __init__(self, vae, loss, learning_rate: float, mesh=None,
+                 accumulate_grad_batches: int = 1, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adam
         from versband_tpu.train.vae_step import (
@@ -117,7 +118,9 @@ class VAETrainer(BaseTrainer):
         self.loss = loss
         self.lr = learning_rate
         self.mesh = mesh  # data-parallel mesh for stage 1 (params replicated)
-        self.tx = make_adam(learning_rate, betas=(0.5, 0.9))
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
+        self.tx = make_adam(learning_rate, betas=(0.5, 0.9),
+                            accumulate_grad_batches=self.accumulate_grad_batches)
         raw_step = make_vae_train_step(vae, loss)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -260,7 +263,8 @@ class CFMTrainer(BaseTrainer):
 
     def __init__(self, cfm, vae_params, cond_stage, learning_rate: float,
                  grad_clip: float = 1.0, use_ema: bool = False,
-                 scheduler=None, mesh=None, **kw):
+                 scheduler=None, mesh=None, accumulate_grad_batches: int = 1,
+                 **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adamw
         from versband_tpu.train.step import make_cfm_train_step
@@ -268,15 +272,19 @@ class CFMTrainer(BaseTrainer):
         self.cfm = cfm
         self.vae_params = vae_params
         self.cond_stage = cond_stage
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         lr = learning_rate if scheduler is None else (
             lambda step: learning_rate * scheduler(step))
-        self.tx = make_adamw(lr, grad_clip=grad_clip)
+        self.tx = make_adamw(lr, grad_clip=grad_clip,
+                             accumulate_grad_batches=self.accumulate_grad_batches)
         self.use_ema = use_ema
         self.mesh = mesh  # jax.sharding.Mesh -> pjit over (data, model)
         # vae_params travel as a jit argument (not closure constants)
-        self._raw_step = make_cfm_train_step(cfm)
+        self._raw_step = make_cfm_train_step(
+            cfm, accumulate_grad_batches=self.accumulate_grad_batches)
         self.train_step = jax.jit(self._raw_step) if mesh is None else None
         self._place_state = self._place_batch = None
+        self._val_step = None
         self.state: Optional[TrainState] = None
 
     def _encode_captions(self, batch) -> np.ndarray:
@@ -419,12 +427,38 @@ class CFMTrainer(BaseTrainer):
         return {"test/num_samples": count}
 
     def _validate(self, val_loader):
-        """val with EMA shadow weights when enabled (``ddpm.py:357-364``)."""
-        params = (self.state.ema.shadow
+        """Eval-mode validation under EMA weights when enabled.
+
+        Matches Lightning eval semantics (``ddpm.py:357-364``): the module
+        runs in eval mode — hard MoE routing, NO Gumbel noise
+        (``train=False``) — so ``val/loss_simple`` is a deterministic function
+        of (params, batch, t, noise). t/noise/encode keys come from a fixed
+        per-batch-index key, making the metric comparable across epochs.
+        """
+        params = (self.state.ema.copy_to(self.state.params)
                   if (self.use_ema and self.state.ema is not None)
                   else self.state.params)
+        if self._val_step is None:
+            from versband_tpu.models.cfm import cfm_p_losses
+
+            cfm = self.cfm
+
+            def _vstep(params, vae_params, mel, cond, key):
+                k_enc, k_t, k_noise = jax.random.split(key, 3)
+                z = cfm.encode_first_stage(vae_params, mel, k_enc)
+                t = jax.random.randint(k_t, (z.shape[0],), 0,
+                                       cfm.num_timesteps)
+                noise = jax.random.normal(k_noise, z.shape, z.dtype)
+                return cfm_p_losses(
+                    cfm.model.apply, params, z, cond, t, noise,
+                    sigma_min=cfm.sigma_min,
+                    num_timesteps=cfm.num_timesteps,
+                    l_simple_weight=cfm.l_simple_weight,
+                    gumbel_rng=None)  # eval mode: hard routing, no Gumbel
+
+            self._val_step = jax.jit(_vstep)
         losses = []
-        for vb in val_loader:
+        for i, vb in enumerate(val_loader):
             vb = pad_batch_time(
                 {**vb, "midi": vb["caption"]["acoustic"]["midi"],
                  "beats": vb["caption"]["acoustic"]["beats"]},
@@ -432,13 +466,11 @@ class CFMTrainer(BaseTrainer):
             vb["caption"]["acoustic"]["midi"] = vb["midi"]
             vb["caption"]["acoustic"]["beats"] = vb["beats"]
             db = self._device_batch(vb)
-            self.key, k = jax.random.split(self.key)
-            k1, k2 = jax.random.split(k)
-            z = self.cfm.encode_first_stage(self.vae_params, db["image"], k1)
             cond = {"caption": db["caption"],
                     "acoustic": {"midi": db["midi"], "beats": db["beats"]}}
-            loss, parts = self.cfm.training_losses(params, z, cond, k2,
-                                                   step=self.state.step)
+            k = jax.random.fold_in(jax.random.PRNGKey(17), i)
+            loss, parts = self._val_step(params, self.vae_params,
+                                         db["image"], cond, k)
             losses.append(float(loss))
         suffix = "_ema" if self.use_ema else ""
         agg = {f"val/loss_simple{suffix}": float(np.mean(losses))}
