@@ -42,7 +42,7 @@ def build_pipeline():
     unet = dict(target="versband_tpu.models.dit.BandMoeDiT",
                 params=dict(in_channels=20, context_dim=768, hidden_size=768,
                             depth=4, num_heads=8, max_len=1500, num_experts=4,
-                            ori_dim=1024, dtype=DTYPE))
+                            ori_dim=1024, use_flash=True, dtype=DTYPE))
     cfm = CFM(unet_config=unet, mel_dim=20, mel_length=T_LAT,
               scale_by_std=False, scale_factor=1.0)
 
@@ -86,7 +86,8 @@ def build_pipeline():
     def sample_stage(dit_p, key):
         z0 = jax.random.normal(key, (B, 20, T_LAT), DTYPE)
         return euler_cfg_sample(cfm.model.apply, dit_p, z0, cond, uncond,
-                                guidance_scale=CFG_SCALE, num_steps=ODE_STEPS)
+                                guidance_scale=CFG_SCALE, num_steps=ODE_STEPS,
+                                encode_once=True)
 
     # decode + vocode fused into ONE program: both are small (the 413 upload
     # limit only bites with the 25-step sampler included), and every staged

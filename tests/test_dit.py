@@ -128,3 +128,42 @@ def test_stacked_swiglu_equals_loop():
         b = xn @ w3[e]
         ref = (a / (1 + np.exp(-a)) * b) @ w2[e]
         np.testing.assert_allclose(np.asarray(out[e]), ref, atol=1e-4)
+
+
+def test_routed_swiglu_matches_dense_onehot_mix():
+    """Eval fast path: ragged_dot routed experts == dense compute + one-hot mix."""
+    E, d, hdim = 4, 8, 16
+    m = StackedSwiGLU(E, d, hdim, multiple_of=4)
+    B, T = 2, 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, d))
+    params = m.init(jax.random.PRNGKey(1), x)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, E)
+
+    routed = m.apply(params, x, idx=idx)                        # [B,T,d]
+    dense = m.apply(params, x)                                  # [E,B,T,d]
+    onehot = jax.nn.one_hot(idx, E)                             # [B,T,E]
+    mixed = jnp.einsum("ebtd,bte->btd", dense, onehot)
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(mixed),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_band_diagonal_swiglu_matches_masked_dense():
+    """Freq-expert fast path: sliced-weight contraction == zero-masked dense."""
+    E, d, hdim = 4, 16, 16
+    m = StackedSwiGLU(E, d, hdim, multiple_of=4)
+    B, T = 2, 5
+    y = jax.random.normal(jax.random.PRNGKey(3), (B, T, d))
+    params = m.init(jax.random.PRNGKey(4), y)
+
+    fast = m.apply(params, y, band_diagonal=True)               # [B,T,d]
+
+    band = d // E
+    ch = jnp.arange(d)
+    band_mask = ((ch[None, :] >= band * jnp.arange(E)[:, None])
+                 & (ch[None, :] < band * (jnp.arange(E)[:, None] + 1))
+                 ).astype(y.dtype)                              # [E,d]
+    y_banded = y[None] * band_mask[:, None, None, :]            # [E,B,T,d]
+    dense = m.apply(params, y_banded)
+    ref = jnp.einsum("ebtd,ed->btd", dense, band_mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -62,6 +62,59 @@ def test_gradients_match_sdpa():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_kv_len_zero_row_returns_zeros():
+    B, Tq, Tk, H, D = 2, 64, 128, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), B, Tq, Tk, H, D)
+    kv_len = jnp.array([0, 128], jnp.int32)
+    out = flash_attention(q, k, v, kv_len=kv_len)
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    ref = sdpa(q[1:], k[1:], v[1:])
+    np.testing.assert_allclose(np.asarray(out[1:]), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_nonmultiple_shapes_and_zero_len():
+    # Tq/Tk not multiples of the block plan; one fully-masked row.
+    B, Tq, Tk, H, D = 3, 70, 150, 2, 96
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), B, Tq, Tk, H, D)
+    kv_len = jnp.array([150, 0, 31], jnp.int32)
+    mask = (jnp.arange(Tk)[None, :] < kv_len[:, None]).astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_len=kv_len)
+        return jnp.sum(jnp.sin(out * 0.3) * out)
+
+    def loss_ref(q, k, v):
+        out = sdpa(q, k, v, mask)
+        # sdpa's fully-masked rows softmax to uniform; zero them to match
+        # the flash convention before the loss.
+        out = jnp.where((kv_len > 0)[:, None, None, None], out, 0)
+        return jnp.sum(jnp.sin(out * 0.3) * out)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_long_sequence_blocked():
+    # Long enough that the backward streams multiple q and k blocks.
+    B, Tq, Tk, H, D = 1, 600, 600, 1, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), B, Tq, Tk, H, D)
+    kv_len = jnp.array([517], jnp.int32)
+    mask = (jnp.arange(Tk)[None, :] < kv_len[:, None]).astype(jnp.float32)
+
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention(*a, kv_len=kv_len) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(sdpa(*a, mask) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_jit_and_scale():
     q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 64, 64, 1, 64)
     f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=0.5))

@@ -78,6 +78,17 @@ class StackedSwiGLU(fnn.Module):
     Per-expert hidden dim follows the same 2/3 rule as FeedForward
     (``flag_large_dit_moe.py:461-468``). Output: ``[E, B, T, d]``.
     The leading expert axis is the EP sharding axis.
+
+    Two structured fast paths share the same parameters:
+      * ``idx`` (eval hard routing): tokens are sorted by their selected
+        expert and run through ``lax.ragged_dot`` grouped matmuls — each token
+        computes only its one expert (dropless, exact), a num_experts-fold
+        FLOP cut over dense compute-and-mask.
+      * ``band_diagonal`` (frequency-band experts): expert e only ever sees
+        input channels of band e and only its band-e output channels survive
+        the caller's mask, so the matmuls contract the extracted
+        ``[band, h]`` weight slices instead of the zero-padded full width —
+        algebraically identical, num_experts-fold fewer FLOPs.
     """
 
     num_experts: int
@@ -87,7 +98,8 @@ class StackedSwiGLU(fnn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, idx: Optional[Array] = None,
+                 band_diagonal: bool = False) -> Array:
         from versband_tpu.nn.core import swiglu_hidden_dim
 
         h = swiglu_hidden_dim(self.hidden_dim, self.multiple_of)
@@ -95,6 +107,41 @@ class StackedSwiGLU(fnn.Module):
         w1 = self.param("w1", xavier, (E, d, h), jnp.float32).astype(self.dtype)
         w3 = self.param("w3", xavier, (E, d, h), jnp.float32).astype(self.dtype)
         w2 = self.param("w2", xavier, (E, h, d), jnp.float32).astype(self.dtype)
+
+        if idx is not None:  # routed: x [B,T,d], idx [B,T] int -> [B,T,d]
+            B, T, _ = x.shape
+            xf = x.reshape(B * T, d)
+            idf = idx.reshape(B * T)
+            order = jnp.argsort(idf)
+            xs = xf[order]
+            gs = jnp.bincount(idf, length=E).astype(jnp.int32)
+            a = jax.lax.ragged_dot(xs, w1, gs,
+                                   preferred_element_type=jnp.float32)
+            b = jax.lax.ragged_dot(xs, w3, gs,
+                                   preferred_element_type=jnp.float32)
+            inner = (fnn.silu(a) * b).astype(self.dtype)
+            out = jax.lax.ragged_dot(inner, w2, gs,
+                                     preferred_element_type=jnp.float32)
+            inv = jnp.argsort(order)
+            return out[inv].astype(self.dtype).reshape(B, T, d)
+
+        if band_diagonal:  # x [B,T,d] -> per-band slices, concat back
+            band = d // E
+            B, T, _ = x.shape
+            xb = jnp.moveaxis(x.reshape(B, T, E, band), 2, 0)  # [E,B,T,band]
+            w1b = jnp.stack([w1[e, e * band:(e + 1) * band] for e in range(E)])
+            w3b = jnp.stack([w3[e, e * band:(e + 1) * band] for e in range(E)])
+            w2b = jnp.stack([w2[e, :, e * band:(e + 1) * band]
+                             for e in range(E)])                # [E,h,band]
+            a = jnp.einsum("ebtc,ech->ebth", xb, w1b,
+                           preferred_element_type=jnp.float32)
+            b = jnp.einsum("ebtc,ech->ebth", xb, w3b,
+                           preferred_element_type=jnp.float32)
+            inner = (fnn.silu(a) * b).astype(self.dtype)
+            out = jnp.einsum("ebth,ehc->ebtc", inner, w2b,
+                             preferred_element_type=jnp.float32)  # [E,B,T,band]
+            return jnp.moveaxis(out.astype(self.dtype), 0, 2).reshape(B, T, d)
+
         if x.ndim == 3:  # shared input [B,T,d] -> broadcast to all experts
             a = jnp.einsum("btd,edh->ebth", x, w1, preferred_element_type=jnp.float32)
             b = jnp.einsum("btd,edh->ebth", x, w3, preferred_element_type=jnp.float32)
@@ -136,6 +183,13 @@ class BandMoE(fnn.Module):
     num_experts: int = 4
     multiple_of: int = 256
     temperature_init: float = 2.0
+    # Mathematically exact rewrites, measured on v5e at the shipped shapes
+    # (B=2, T=752, E=4, d=768): sliced-weight freq experts win (~-12%% whole
+    # sampler), but ragged_dot token routing LOSES to dense compute-and-mask
+    # at 4 experts (sort/gather overhead > the 4x FLOP cut at this size) —
+    # keep it off unless num_experts grows.
+    eval_routed: bool = False
+    freq_band_diagonal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -169,24 +223,46 @@ class BandMoE(fnn.Module):
         cap_probs = gumbel_softmax(cap_logits, temperature, hard, keys.get("cap"))
         ac_probs = gumbel_softmax(ac_logits, temperature, hard, keys.get("ac"))
 
-        # (4) dense expert evaluation + weighted mixture, masked by group gate
-        cap_out = StackedSwiGLU(E, self.dim, self.hidden_dim, self.multiple_of,
-                                dtype=self.dtype, name="caption_experts")(x)  # [E,B,T,d]
-        ac_out = StackedSwiGLU(E, self.dim, self.hidden_dim, self.multiple_of,
-                               dtype=self.dtype, name="acoustic_experts")(x)
-        y = (jnp.einsum("ebtd,bte->btd", cap_out, cap_probs) * cap_mask
-             + jnp.einsum("ebtd,bte->btd", ac_out, ac_probs) * ac_mask)
+        # (4) expert evaluation + weighted mixture, masked by group gate.
+        # Training (soft Gumbel weights): dense compute-and-mix — the fast TPU
+        # plan at 4 experts. Eval (hard one-hot, no noise): each token runs
+        # ONLY its argmax expert via sorted ragged_dot grouped matmuls —
+        # exact same selected-expert math, num_experts-fold fewer FLOPs.
+        cap_experts = StackedSwiGLU(E, self.dim, self.hidden_dim,
+                                    self.multiple_of, dtype=self.dtype,
+                                    name="caption_experts")
+        ac_experts = StackedSwiGLU(E, self.dim, self.hidden_dim,
+                                   self.multiple_of, dtype=self.dtype,
+                                   name="acoustic_experts")
+        if (hard and self.eval_routed and keys.get("cap") is None
+                and self.is_initializing() is False):
+            cap_sel = cap_experts(x, idx=jnp.argmax(cap_logits, axis=-1))
+            ac_sel = ac_experts(x, idx=jnp.argmax(ac_logits, axis=-1))
+            y = cap_sel * cap_mask + ac_sel * ac_mask
+        else:
+            cap_out = cap_experts(x)  # [E,B,T,d]
+            ac_out = ac_experts(x)
+            y = (jnp.einsum("ebtd,bte->btd", cap_out, cap_probs) * cap_mask
+                 + jnp.einsum("ebtd,bte->btd", ac_out, ac_probs) * ac_mask)
 
-        # (5) frequency-band experts: block-diagonal channel partition of y
-        band = d // E
-        ch = jnp.arange(d)
-        band_mask = ((ch[None, :] >= band * jnp.arange(E)[:, None])
-                     & (ch[None, :] < band * (jnp.arange(E)[:, None] + 1))
-                     ).astype(y.dtype)  # [E, d]
-        y_banded = y[None] * band_mask[:, None, None, :]  # [E,B,T,d]
-        freq_out = StackedSwiGLU(E, self.dim, self.hidden_dim, self.multiple_of,
-                                 dtype=self.dtype, name="freq_experts")(y_banded)
-        z = jnp.einsum("ebtd,ed->btd", freq_out, band_mask)
+        # (5) frequency-band experts: block-diagonal channel partition of y.
+        # Expert e only sees band e's channels and only band e of its output
+        # survives, so the sliced-weight path contracts the extracted
+        # [band, h] slices directly; the masked-dense path is the same math
+        # over zero-padded full-width inputs.
+        freq_experts = StackedSwiGLU(E, self.dim, self.hidden_dim,
+                                     self.multiple_of, dtype=self.dtype,
+                                     name="freq_experts")
+        if self.freq_band_diagonal:
+            z = freq_experts(y, band_diagonal=True)
+        else:
+            band = d // E
+            ch = jnp.arange(d)
+            band_mask = ((ch[None, :] >= band * jnp.arange(E)[:, None])
+                         & (ch[None, :] < band * (jnp.arange(E)[:, None] + 1))
+                         ).astype(y.dtype)  # [E, d]
+            y_banded = y[None] * band_mask[:, None, None, :]  # [E,B,T,d]
+            z = jnp.einsum("ebtd,ed->btd", freq_experts(y_banded), band_mask)
 
         # (6) load-balancing loss over masked expert probs
         # (vocal2music_moe.py:95-115): usage_e = sum_n p_e,n * m_n / sum(all masks)
@@ -234,6 +310,8 @@ class TransformerBlock(fnn.Module):
     norm_eps: float = 1e-5
     qk_norm: bool = False
     use_flash: bool = False
+    moe_eval_routed: bool = False
+    moe_freq_band_diagonal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -259,6 +337,8 @@ class TransformerBlock(fnn.Module):
             RMSNorm(self.dim, self.norm_eps, dtype=self.dtype, name="ffn_norm")(h),
             shift_mlp, scale_mlp)
         out, lb = BandMoE(self.dim, self.dim, self.num_experts, self.multiple_of,
+                          eval_routed=self.moe_eval_routed,
+                          freq_band_diagonal=self.moe_freq_band_diagonal,
                           dtype=self.dtype, name="feed_forward")(
             ffn_in, t_emb, caption, acoustic, step=step, train=train)
         return h + gate_mlp[:, None, :] * out, lb
@@ -310,6 +390,8 @@ class BandMoeDiT(fnn.Module):
     midi_vocab: int = 130
     beats_vocab: int = 3
     use_flash: bool = False
+    moe_eval_routed: bool = False
+    moe_freq_band_diagonal: bool = True
     remat: bool = False  # jax.checkpoint each block (trade FLOPs for HBM)
     dtype: jnp.dtype = jnp.float32
 
@@ -391,6 +473,8 @@ class BandMoeDiT(fnn.Module):
                 num_experts=self.num_experts, n_kv_heads=self.n_kv_heads,
                 multiple_of=self.multiple_of, norm_eps=self.norm_eps,
                 qk_norm=self.qk_norm, use_flash=self.use_flash,
+                moe_eval_routed=self.moe_eval_routed,
+                moe_freq_band_diagonal=self.moe_freq_band_diagonal,
                 dtype=self.dtype, name=f"blocks_{i}",
             )(h, None, caption, None, rope_cos, rope_sin, adaln_input,
               t_emb, caption, acoustic, step, train)
