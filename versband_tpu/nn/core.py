@@ -77,15 +77,20 @@ class TimestepEmbedder(fnn.Module):
 
 
 class ConditionEmbedder(fnn.Module):
-    """Caption projection MLP: Linear -> GELU -> Linear -> LayerNorm."""
+    """Caption projection MLP: Linear -> GELU -> Linear -> LayerNorm.
+
+    ``gelu_tanh``: the concatDiT family uses GELU(approximate='tanh')
+    (``concatDiT.py:86``) where the Lumina stack uses exact GELU.
+    """
 
     hidden_size: int
+    gelu_tanh: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, x: Array) -> Array:
         x = fnn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
-        x = fnn.gelu(x, approximate=False)
+        x = fnn.gelu(x, approximate=self.gelu_tanh)
         x = fnn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
         x = fnn.LayerNorm(dtype=self.dtype, name="ln")(x)
         return x

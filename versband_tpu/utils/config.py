@@ -77,7 +77,9 @@ TARGET_ALIASES = {
     "ldm.modules.encoders.modules.SpatialRescaler": "versband_tpu.text.embedders.SpatialRescaler",
     "ldm.modules.diffusionmodules.concatDiT.ConcatDiT": "versband_tpu.models.concat_dit.ConcatDiT",
     "ldm.modules.diffusionmodules.concatDiT.HybridDiT2MLP": "versband_tpu.models.concat_dit.HybridDiT2MLP",
-    "ldm.modules.diffusionmodules.concatDiT.HybridDiT2MLP2": "versband_tpu.models.concat_dit.HybridDiT2MLP",
+    "ldm.modules.diffusionmodules.concatDiT.HybridDiT2MLP2": "versband_tpu.models.concat_dit.HybridDiT2MLP2",
+    "ldm.modules.diffusionmodules.concatDiT.ConcatOrderDiT": "versband_tpu.models.concat_dit.ConcatOrderDiT",
+    "ldm.modules.diffusionmodules.concatDiT.ConcatOrderDiT2": "versband_tpu.models.concat_dit.ConcatOrderDiT2",
     "ldm.lr_scheduler.LambdaLinearScheduler": "versband_tpu.train.lr_schedules.LambdaLinearScheduler",
     "ldm.lr_scheduler.LambdaWarmUpCosineScheduler": "versband_tpu.train.lr_schedules.LambdaWarmUpCosineScheduler",
     "ldm.data.vocal2accomp_musical_dataset.JoinSpecsTrain": "versband_tpu.data.vocal2accomp.JoinSpecsTrain",

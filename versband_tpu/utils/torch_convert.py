@@ -205,8 +205,44 @@ DIT_RULES: List[Rule] = [
     (r"freqs_cis$", None, None),  # recomputed
 ]
 
+CONCAT_DIT_RULES: List[Rule] = [
+    (r"t_embedder\.mlp\.0\.(.+)$", r"t_embedder/fc1/\1", None),
+    (r"t_embedder\.mlp\.2\.(.+)$", r"t_embedder/fc2/\1", None),
+    # ConditionEmbedder: mlp = [Linear, GELU, Linear, LayerNorm]
+    (r"(c|c1|c2|caption)_embedder\.mlp\.0\.(.+)$", r"\1_embedder/fc1/\2", None),
+    (r"(c|c1|c2|caption)_embedder\.mlp\.2\.(.+)$", r"\1_embedder/fc2/\2", None),
+    (r"(c|c1|c2|caption)_embedder\.mlp\.3\.weight$", r"\1_embedder/ln/scale", None),
+    (r"(c|c1|c2|caption)_embedder\.mlp\.3\.bias$", r"\1_embedder/ln/bias", None),
+    (r"pos_emb\.weight$", "pos_emb/W_", None),
+    (r"order_embedding\.weight$", "order_embedding/embedding", None),
+    (r"code_embed\.weight$", "code_embed/embedding", None),
+    (r"code_proj\.0\.(.+)$", r"code_proj/\1", None),
+    (r"fuse_proj\.(.+)$", r"fuse_proj/\1", None),
+    (r"proj_in\.(.+)$", r"proj_in/\1", None),
+    # TemporalTransformer internals
+    (r"blocks\.(\d+)\.norm\.weight$", r"blocks_\1/norm/scale", None),
+    (r"blocks\.(\d+)\.norm\.bias$", r"blocks_\1/norm/bias", None),
+    (r"blocks\.(\d+)\.(proj_in|proj_out)\.(.+)$", r"blocks_\1/\2/\3", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.norm(\d)\.weight$",
+     r"blocks_\1/transformer_blocks_\2/norm\3/scale", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.norm(\d)\.bias$",
+     r"blocks_\1/transformer_blocks_\2/norm\3/bias", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.(attn\d)\.to_out\.0\.(.+)$",
+     r"blocks_\1/transformer_blocks_\2/\3/to_out/\4", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.(attn\d)\.(to_[qkv])\.(.+)$",
+     r"blocks_\1/transformer_blocks_\2/\3/\4/\5", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.ff\.net\.0\.proj\.(.+)$",
+     r"blocks_\1/transformer_blocks_\2/ff/proj/\3", None),
+    (r"blocks\.(\d+)\.transformer_blocks\.(\d+)\.ff\.net\.2\.(.+)$",
+     r"blocks_\1/transformer_blocks_\2/ff/out/\3", None),
+    (r"final_layer\.norm_final\.weight$", "final_layer/norm_final/scale", None),
+    (r"final_layer\.norm_final\.bias$", "final_layer/norm_final/bias", None),
+    (r"final_layer\.conv1d\.(.+)$", r"final_layer/conv1d/\1", None),
+]
+
 FAMILY_RULES = {"vae": VAE_RULES, "hifigan": HIFIGAN_RULES,
-                "bigvgan": HIFIGAN_RULES, "dit": DIT_RULES}
+                "bigvgan": HIFIGAN_RULES, "dit": DIT_RULES,
+                "concat_dit": CONCAT_DIT_RULES}
 
 
 def fold_torch_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
