@@ -98,3 +98,91 @@ def test_seeded_rng_reproducible():
     b = gen(seed=7).transcribe(key="D major", key_conf=1.0, tempo=130,
                                tempo_conf=1.0, emotion=["epic"])
     assert a == b
+
+
+# --- reference template mode ------------------------------------------------
+
+def test_reference_banks_load_and_count():
+    from versband_tpu.text.caption_generator import reference_banks
+    b = reference_banks()
+    assert len(b["full_factor_templates"]) == 100
+    assert len(b["full_factor_templates_w_duration"]) == 100
+    assert len(b["templates_wo_key"]) == 10
+    assert b["tempo_phrases"]["very low"] == ["very slow"]
+    assert b["duration_phrases"]["None"] == [None]
+    # every template in a bank carries exactly the placeholders its name says
+    for t in b["templates_wo_key"]:
+        assert "[Key]" not in t and "[pitch level]" in t and "[tempo]" in t
+
+
+def test_reference_mode_selection_table_and_quirks():
+    from versband_tpu.text.caption_generator import (CaptionGenerator,
+                                                     reference_banks)
+    b = reference_banks()
+    rng = np.random.default_rng(0)
+    g = CaptionGenerator(rng=rng, templates="reference")
+
+    # full presence, no duration -> full bank, all slots replaced
+    cap = g.transcribe(key="C major", key_conf=0.9, avg_pitch=60, tempo=100,
+                       tempo_conf=0.9, emotion=["happy"])
+    assert "[" not in cap and cap  # no unreplaced placeholders
+
+    # quirk: emotion missing (1110) draws FULL bank, placeholder kept
+    found_quirk = False
+    for i in range(20):
+        g2 = CaptionGenerator(rng=np.random.default_rng(i),
+                              templates="reference")
+        cap = g2.transcribe(key="C major", key_conf=0.9, avg_pitch=60,
+                            tempo=100, tempo_conf=0.9)
+        if "[emotional characteristics]" in cap:
+            found_quirk = True
+        # and the template really is from the full bank
+        assert any(cap.startswith(t.split("[")[0][:10]) for t in
+                   b["full_factor_templates"])
+    assert found_quirk
+
+    # nothing known -> empty
+    assert CaptionGenerator(rng=np.random.default_rng(0),
+                            templates="reference").transcribe() == ""
+
+
+def test_reference_mode_phrases_are_reference_vocab():
+    from versband_tpu.text.caption_generator import CaptionGenerator2
+    # 'gentle' is reference tempo vocab, absent from the clause-mode phrases
+    seen = set()
+    for i in range(40):
+        g = CaptionGenerator2(rng=np.random.default_rng(i),
+                              templates="reference")
+        p = g.prepare_tempo(80, 0.9)
+        seen.add(p)
+    assert seen <= {"slow", "low", "gentle"}
+    assert "gentle" in seen
+
+
+def test_reference_mode_global_stream_deterministic():
+    """rng=None draws from the global np.random / random streams in the
+    reference's call order -> seeding reproduces byte-identical prompts."""
+    from versband_tpu.text.caption_generator import CaptionGenerator2
+
+    def run():
+        np.random.seed(1234)
+        import random as _r
+        _r.seed(1234)
+        g = CaptionGenerator2(templates="reference")
+        return [g.transcribe(key="D major", key_conf=0.9, avg_pitch=70,
+                             tempo=130, tempo_conf=0.9,
+                             emotion=["tense", "dark", "epic"], duration=12.0)
+                for _ in range(5)]
+
+    a, b = run(), run()
+    assert a == b
+    assert all("[" not in c for c in a)
+
+
+def test_reference_mode_v2_dead_zone_drops_feature():
+    from versband_tpu.text.caption_generator import CaptionGenerator2
+    g = CaptionGenerator2(rng=np.random.default_rng(0), templates="reference")
+    # tempo 90 sits in the V2 dead zone 89..91 -> 'None' phrase -> dropped
+    assert g.prepare_tempo(90, 0.9) is None
+    assert g.prepare_avg_pitch(54) is None
+    assert g.prepare_duration(5.0) in (None, "5 seconds")

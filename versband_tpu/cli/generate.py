@@ -58,12 +58,16 @@ class InferDataset:
 
     def __init__(self, manifest_dir: str, other_condition: Optional[str],
                  num_items: int = 200, max_sec: float = 20.0, seed: int = 0,
-                 mel_downsample_rate: int = 2):
+                 mel_downsample_rate: int = 2,
+                 caption_templates: str = "reference"):
+        # generation from a converted reference checkpoint should see the
+        # prompt distribution it was trained on -> reference templates
         from versband_tpu.data.manifests import load_manifest_dirs
         from versband_tpu.text.caption_generator import CaptionGenerator2
 
         self.rng = np.random.default_rng(seed)
-        self.caption_generator = CaptionGenerator2(rng=self.rng)
+        self.caption_generator = CaptionGenerator2(rng=self.rng,
+                                                    templates=caption_templates)
         df = load_manifest_dirs(manifest_dir)
         if "duration" in df:
             df = df[df["duration"] <= max_sec]

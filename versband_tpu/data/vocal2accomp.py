@@ -38,7 +38,8 @@ class JoinManifestSpecs:
                  mode: str = "pad", spec_crop_len: int = 1248,
                  pad_value: float = -5.0, drop: float = 0.0,
                  max_tokens: int = 80000, other_condition: Optional[str] = None,
-                 seed: Optional[int] = None, **kwargs):
+                 seed: Optional[int] = None, caption_templates: str = "clause",
+                 **kwargs):
         assert mode in ("pad", "tile")
         self.split = split
         self.max_batch_len = spec_crop_len
@@ -51,7 +52,8 @@ class JoinManifestSpecs:
         self.drop = drop
         self.max_tokens = max_tokens
         self.rng = np.random.default_rng(seed)
-        self.caption_generator = CaptionGenerator2(rng=self.rng)
+        self.caption_generator = CaptionGenerator2(rng=self.rng,
+                                                    templates=caption_templates)
 
         self.df_main = load_manifest_dirs(main_spec_dir_path)
         self.dataset = split_dataset(self.df_main, split, valid_head=300)

@@ -21,18 +21,41 @@ Faithful behaviors:
   * duration has a coin-flip chance of the exact '<n> seconds' (:685-687);
   * empty string when nothing but (duration/) nothing is known.
 
-Templates are composed from clause banks rather than a fixed list — every
-presence code still yields fluent sentences with all required slots.
-Randomness is held in a seedable ``numpy.random.Generator`` (``rng`` arg)
-instead of the reference's global state.
+Two template modes:
+  * ``templates='clause'`` (default for training from scratch): sentences are
+    composed from clause banks — every presence code yields fluent sentences
+    with all required slots; randomness in a seedable
+    ``numpy.random.Generator``.
+  * ``templates='reference'``: the reference's EXACT ~390-template banks
+    (extracted verbatim into ``reference_templates.json`` — prompt
+    distribution data a converted reference checkpoint was trained on) with
+    the reference's exact selection table (:689-778), including its quirks:
+    presence code 1110 draws from ``full_factor_templates`` and leaves the
+    ``[emotional characteristics]`` placeholder unreplaced, 0010 leaves
+    key/pitch/emotion placeholders, and 0011-with-duration reuses the
+    no-duration bank. With ``rng=None`` this mode draws from the GLOBAL
+    ``np.random`` / ``random`` streams in the same call order as the torch
+    generator, so seeded runs are stream-compatible with it.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import random
+from functools import lru_cache
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+
+@lru_cache(maxsize=1)
+def reference_banks() -> dict:
+    """The reference's verbatim template/phrase banks
+    (``caption_generator.py:67-610``), extracted as data."""
+    path = os.path.join(os.path.dirname(__file__), "reference_templates.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
 
 _SHARPS = ["C", "G", "D", "A", "E", "B", "F#", "C#", "G#", "D#", "A#", "F"]
 _NOTE_TO_PC = {"C": 0, "C#": 1, "D-": 1, "D": 2, "D#": 3, "E-": 3, "E": 4,
@@ -147,19 +170,55 @@ class CaptionGenerator:
     _CLOSERS = ["flows through the piece.", "shapes this passage.",
                 "defines the section."]
 
-    def __init__(self, rng: Optional[np.random.Generator] = None):
+    def __init__(self, rng: Optional[np.random.Generator] = None,
+                 templates: str = "clause"):
+        if templates not in ("clause", "reference"):
+            raise ValueError(f"unknown templates mode {templates!r}")
+        self.templates = templates
+        self._seeded = rng is not None
         self.rng = rng or np.random.default_rng()
+        if templates == "reference":
+            banks = reference_banks()
+            self.tempo_phrases = banks["tempo_phrases"]
+            self.avg_pitch_phrases = banks["avg_pitch_phrases"]
+            self.duration_phrases = banks["duration_phrases"]
 
     # --- feature preparation ----------------------------------------------
     def _choice(self, seq):
+        """Draw one element. Reference mode with no explicit rng uses the
+        GLOBAL np.random stream (same call order as the torch generator)."""
+        if self.templates == "reference" and not self._seeded:
+            out = np.random.choice(np.asarray(seq, dtype=object))
+            return None if out is None else (str(out) if isinstance(out, (str, np.str_)) else out)
         return seq[int(self.rng.integers(len(seq)))]
+
+    def _coin(self) -> float:
+        if self.templates == "reference" and not self._seeded:
+            return float(np.random.random(1))
+        return float(self.rng.random())
+
+    def _shuffled(self, lst: List[str]) -> List[str]:
+        if self.templates == "reference" and not self._seeded:
+            return random.sample(lst, len(lst))
+        order = list(self.rng.permutation(len(lst)))
+        return [lst[i] for i in order]
 
     def prepare_key(self, key, key_conf) -> Optional[str]:
         if key is None or key == "None" or key_conf < self.key_min_conf:
             return None
         k = SimpleKey(key)
-        if self.rng.random() > 0.5:
+        if self._coin() > 0.5:
             k = k.relative
+        if self.templates == "reference":
+            # the reference's three spellings (:620-624), music21 strings:
+            # tonic.fullName ('F-sharp'), tonic.accidental formatted into the
+            # f-string (None -> 'None' for naturals — faithfully reproduced),
+            # and key.name ('f# minor').
+            acc = _ACCIDENTAL_FULL.get(k.accidental) if k.accidental else None
+            spellings = [f"{k.full_name} {k.mode}",
+                         f"{k.step} {acc} {k.mode}",
+                         f"{k.name}"]
+            return self._choice(spellings)
         spellings = [f"{k.full_name} {k.mode}"]
         if k.accidental:
             spellings.append(
@@ -205,8 +264,7 @@ class CaptionGenerator:
         emotion = list(emotion)
         if len(emotion) == 1:
             return emotion[0]
-        order = list(self.rng.permutation(len(emotion)))
-        shuffled = [emotion[i] for i in order]
+        shuffled = self._shuffled(emotion)
         if len(shuffled) == 2:
             return " and ".join(shuffled)
         return ", ".join(shuffled[:-1]) + ", and " + shuffled[-1]
@@ -230,6 +288,107 @@ class CaptionGenerator:
         return self._choice([phrase, exact])
 
     # --- sentence composition ---------------------------------------------
+    _KEY_KW = "[Key]"
+    _PITCH_KW = "[pitch level]"
+    _TEMPO_KW = "[tempo]"
+    _EMOTION_KW = "[emotional characteristics]"
+    _DURATION_KW = "[duration]"
+
+    def _transcribe_reference(self, key, avg_pitch, tempo, emotion,
+                              duration) -> str:
+        """The reference's exact bank-selection table (:689-778), quirks
+        included (1110/0010 leave placeholders; 0011-with-duration reuses the
+        no-duration bank)."""
+        b = reference_banks()
+        code = "".join(str(int(v is not None))
+                       for v in (key, avg_pitch, tempo, emotion))
+
+        def pick(bank):
+            return str(self._choice(b[bank]))
+
+        def sub(c, **kw):
+            for kwname, val in kw.items():
+                token = {"key": self._KEY_KW, "pitch": self._PITCH_KW,
+                         "tempo": self._TEMPO_KW, "emotion": self._EMOTION_KW,
+                         "duration": self._DURATION_KW}[kwname]
+                c = c.replace(token, val)
+            return c
+
+        if duration is None:
+            table = {
+                "1111": ("full_factor_templates",
+                         dict(key=key, pitch=avg_pitch, tempo=tempo,
+                              emotion=emotion)),
+                "0111": ("templates_wo_key",
+                         dict(pitch=avg_pitch, tempo=tempo, emotion=emotion)),
+                "1011": ("templates_wo_avg_pitch",
+                         dict(key=key, tempo=tempo, emotion=emotion)),
+                "1101": ("templates_wo_tempo",
+                         dict(key=key, pitch=avg_pitch, emotion=emotion)),
+                # reference quirk: 1110 uses the FULL bank, leaving the
+                # [emotional characteristics] placeholder in place
+                "1110": ("full_factor_templates",
+                         dict(key=key, pitch=avg_pitch, tempo=tempo)),
+                "0011": ("templates_wo_key_and_avg_pitch",
+                         dict(tempo=tempo, emotion=emotion)),
+                "0101": ("templates_wo_key_and_tempo",
+                         dict(pitch=avg_pitch, emotion=emotion)),
+                "0110": ("templates_wo_key_and_emotion",
+                         dict(pitch=avg_pitch, tempo=tempo)),
+                "1001": ("templates_wo_avg_pitch_and_tempo",
+                         dict(key=key, emotion=emotion)),
+                "1010": ("templates_wo_avg_pitch_and_emotion",
+                         dict(key=key, tempo=tempo)),
+                "1100": ("templates_wo_tempo_and_emotion",
+                         dict(key=key, pitch=avg_pitch)),
+                "0001": ("templates_wo_key_and_avg_pitch_and_tempo",
+                         dict(emotion=emotion)),
+                # quirk: tempo-only also draws from the FULL bank
+                "0010": ("full_factor_templates", dict(tempo=tempo)),
+            }
+        else:
+            table = {
+                "1111": ("full_factor_templates_w_duration",
+                         dict(key=key, pitch=avg_pitch, tempo=tempo,
+                              emotion=emotion, duration=duration)),
+                "0111": ("templates_wo_key_w_duration",
+                         dict(pitch=avg_pitch, tempo=tempo, emotion=emotion,
+                              duration=duration)),
+                "1011": ("templates_wo_avg_pitch_w_duration",
+                         dict(key=key, tempo=tempo, emotion=emotion,
+                              duration=duration)),
+                "1101": ("templates_wo_tempo_w_duration",
+                         dict(key=key, pitch=avg_pitch, emotion=emotion,
+                              duration=duration)),
+                "1110": ("full_factor_templates_w_duration",
+                         dict(key=key, pitch=avg_pitch, tempo=tempo,
+                              duration=duration)),
+                # quirk: the no-duration bank (duration replace is a no-op)
+                "0011": ("templates_wo_key_and_avg_pitch",
+                         dict(tempo=tempo, emotion=emotion,
+                              duration=duration)),
+                "0101": ("templates_wo_key_and_tempo_w_duration",
+                         dict(pitch=avg_pitch, emotion=emotion,
+                              duration=duration)),
+                "0110": ("templates_wo_key_and_emotion_w_duration",
+                         dict(pitch=avg_pitch, tempo=tempo,
+                              duration=duration)),
+                "1001": ("templates_wo_avg_pitch_and_tempo_w_duration",
+                         dict(key=key, emotion=emotion, duration=duration)),
+                "1010": ("templates_wo_avg_pitch_and_emotion_w_duration",
+                         dict(key=key, tempo=tempo, duration=duration)),
+                "1100": ("templates_wo_tempo_and_emotion_w_duration",
+                         dict(key=key, pitch=avg_pitch, duration=duration)),
+                "0001": ("templates_wo_key_and_avg_pitch_and_tempo_w_duration",
+                         dict(emotion=emotion, duration=duration)),
+                "0010": ("full_factor_templates_w_duration",
+                         dict(tempo=tempo, duration=duration)),
+            }
+        if code not in table:
+            return ""
+        bank, repl = table[code]
+        return sub(pick(bank), **repl)
+
     def transcribe(self, key=None, key_conf=0.0, avg_pitch=None, tempo=None,
                    tempo_conf=0.0, emotion=None, duration=None) -> str:
         key = self.prepare_key(key, key_conf)
@@ -237,6 +396,10 @@ class CaptionGenerator:
         avg_pitch = self.prepare_avg_pitch(avg_pitch)
         emotion = self.prepare_emotion(emotion)
         duration = self.prepare_duration(duration)
+
+        if self.templates == "reference":
+            return self._transcribe_reference(key, avg_pitch, tempo, emotion,
+                                              duration)
 
         clauses: List[str] = []
         if key is not None:
