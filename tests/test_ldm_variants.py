@@ -100,3 +100,34 @@ def test_classifier_guidance_shifts_eps():
                                  scale=2.0)
     assert eps2.shape == eps.shape
     assert float(jnp.abs(eps2).max()) > 0  # guidance moved eps
+
+
+def test_latent_diffusion_order_single_key_dispatch():
+    """ddpm_audio_order variant: cond wrapped whole under the conditioning
+    key, ConcatOrderDiT context dicts pass through intact."""
+    import jax
+    import jax.numpy as jnp
+    from versband_tpu.models.ldm_variants import LatentDiffusionOrder
+    from versband_tpu.utils.config import get_obj_from_str
+
+    # alias resolves to the real class, not the base LDM
+    cls = get_obj_from_str(
+        "ldm.models.diffusion.ddpm_audio_order.LatentDiffusion_audio")
+    assert cls is LatentDiffusionOrder
+
+    unet = dict(target="versband_tpu.models.concat_dit.ConcatOrderDiT",
+                params=dict(in_channels=4, context_dim=12, hidden_size=32,
+                            depth=1, num_heads=2, max_len=64))
+    ldm = LatentDiffusionOrder(unet_config=unet, conditioning_key="crossattn",
+                               scale_by_std=False, scale_factor=1.0)
+
+    B, T = 1, 16
+    x = jnp.zeros((B, 4, T))
+    t = jnp.zeros((B,))
+    cond = {"token_embedding": jnp.zeros((B, 6, 12)),
+            "token_ids": jnp.array([[101, 7, 1064, 8, 102, 0]], jnp.int32),
+            "orders": jnp.zeros((B, 10), jnp.int32)}
+    params = ldm.model.init(jax.random.PRNGKey(0), x, t, cond)
+    out, lb = ldm.apply_model(params, x, t, cond)
+    assert out.shape == (B, 4, T)
+    assert float(lb) == 0.0

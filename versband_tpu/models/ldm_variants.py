@@ -26,6 +26,7 @@ import numpy as np
 
 from versband_tpu.models.samplers import (
     predict_start_from_noise, q_posterior, q_sample)
+from versband_tpu.models.cfm import LatentDiffusion
 from versband_tpu.models.schedules import DiffusionSchedule
 
 Array = jax.Array
@@ -169,3 +170,34 @@ def classifier_guided_eps(eps: Array, x: Array, t: Array, y: Array,
     s1m = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)[
         t.astype(jnp.int32)].reshape(-1, *([1] * (x.ndim - 1)))
     return eps - scale * s1m * grad
+
+
+class LatentDiffusionOrder(LatentDiffusion):
+    """The ``ddpm_audio_order.LatentDiffusion_audio`` variant
+    (``ddpm_audio_order.py``, a near-copy of ``ddpm_audio.py`` whose real
+    deltas are):
+      * single-key conditioning dispatch — ``cond`` is wrapped whole as
+        ``{'c_concat': cond}`` or ``{'c_crossattn': cond}`` by
+        ``conditioning_key`` (:apply_model), NOT split into the hybrid
+        caption/acoustic pair. This is the LDM layer the ConcatOrderDiT
+        backbones ride (their context is the ``{'token_embedding',
+        'token_ids', 'orders'}`` dict, passed through intact);
+      * rides the legacy 2-D autoencoder family (first_stage_config decides);
+      * no MoE load-balance loss plumbing (backbones still return the
+        unified ``(out, lb)`` tuple here; lb is 0 for non-MoE backbones).
+    """
+
+    def apply_model(self, params, x_noisy, t, cond, step=0, train=False,
+                    rngs=None):
+        # reference: cond = {key: cond}; DiffusionWrapper(**cond) then hands
+        # the INNER cond to the backbone (context=c_crossattn) — so the
+        # backbone sees cond directly in crossattn mode.
+        if isinstance(cond, dict) and (
+                "c_concat" in cond or "c_crossattn" in cond):
+            context = cond.get("c_crossattn", cond)
+        elif self.conditioning_key == "concat":
+            context = {"c_concat": cond}
+        else:
+            context = cond
+        return self.model.apply(params, x_noisy, t, context,
+                                step=step, train=train, rngs=rngs)

@@ -51,7 +51,7 @@ TARGET_ALIASES = {
     "ldm.models.diffusion.ddpm_audio.LatentDiffusion_audio": "versband_tpu.models.cfm.LatentDiffusion",
     # order variant is byte-for-byte the base LDM modulo cosmetics (verified
     # by structural diff) — same implementation serves both targets
-    "ldm.models.diffusion.ddpm_audio_order.LatentDiffusion_audio": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.models.diffusion.ddpm_audio_order.LatentDiffusion_audio": "versband_tpu.models.ldm_variants.LatentDiffusionOrder",
     "ldm.models.diffusion.ddpm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
     "ldm.models.diffusion.audioldm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
     "ldm.models.diffusion.classifier.NoisyLatentImageClassifier": "versband_tpu.models.ldm_variants.NoiseLevelClassifier",
