@@ -70,7 +70,9 @@ def build_pipeline():
     try:
         from versband_tpu.vocoder.hifigan import HifiGanGenerator
 
-        voc = HifiGanGenerator()  # shipped 24 kHz config (hop 320)
+        # shipped 24 kHz config (hop 320), serving dtype (bf16): fp32 convs
+        # at 480k samples run ~20x slower on the MXU — see docs/BENCH_NOTES.md
+        voc = HifiGanGenerator(dtype=DTYPE)
         voc_params = jax.jit(voc.init)(jax.random.PRNGKey(3), mel0)
         vocoder_apply = voc.apply
     except Exception as e:  # vocoder milestone not built yet

@@ -62,8 +62,69 @@ def _wn_kernel(module: fnn.Module, name: str, shape: Tuple[int, ...],
     return v / norm * g
 
 
+def _auto_time_block(cin: int, cout: int, T: int, k: int, stride: int,
+                     groups: int) -> int:
+    """Largest power-of-2 packing factor for the space-to-depth conv.
+
+    Only real convolutions benefit: k=1 convs are already pure matmuls (the
+    MXU path), and blocking them just multiplies FLOPs by r (measured 1.6x
+    slower on the ParallelWaveGAN 1x1 stack).
+    """
+    if stride != 1 or groups != 1 or k < 3 or k % 2 == 0 or T <= 0:
+        return 1
+    r = 1
+    while (2 * r * max(cin, cout) <= _BLOCK_TARGET_CH and T % (2 * r) == 0):
+        r *= 2
+    return r
+
+
+# pack channels up to the MXU lane width
+_BLOCK_TARGET_CH = 128
+
+
+def space_to_depth_conv1d(x: Array, kernel: Array, dilation: int, pad: int,
+                          r: int, dtype) -> Array:
+    """Exact stride-1 SAME conv over ``[B, T, C]`` computed in a
+    channel-packed ``[B, T/r, r*C]`` layout.
+
+    Vocoder tails run convs at tiny channel counts (32-64) over huge T
+    (~480k samples) — XLA lowers those to the VPU at ~4 TFLOP/s. Packing r
+    consecutive samples into channels (a free contiguous reshape) and
+    convolving with the equivalent block-sparse ``[kb, r*C, r*C]`` kernel
+    puts the same math on the MXU: measured 3-5x faster at the HiFi-GAN
+    stage-4 shape despite computing ~kb*r/k more (mostly-zero) FLOPs. Exact
+    up to fp reassociation: every extra multiplier is a structural zero.
+    """
+    B, T, cin = x.shape
+    k, _, cout = kernel.shape
+    offs = [tap * dilation - pad for tap in range(k)]
+    binmin = min((j + o) // r for j in range(r) for o in offs)
+    binmax = max((j + o) // r for j in range(r) for o in offs)
+    kb = binmax - binmin + 1
+    Wb = jnp.zeros((kb, r * cin, r * cout), kernel.dtype)
+    for j in range(r):
+        for tap in range(k):
+            src = j + offs[tap]
+            bb = src // r - binmin
+            jin = src % r
+            Wb = Wb.at[bb, jin * cin:(jin + 1) * cin,
+                       j * cout:(j + 1) * cout].add(kernel[tap])
+    xb = x.reshape(B, T // r, r * cin)
+    y = jax.lax.conv_general_dilated(
+        xb.astype(dtype), Wb.astype(dtype), window_strides=(1,),
+        padding=[(-binmin, binmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32).astype(dtype)
+    return y.reshape(B, T, cout)
+
+
 class WNConv1d(fnn.Module):
-    """Weight-normalized 1-D conv over ``[B, T, C]``."""
+    """Weight-normalized 1-D conv over ``[B, T, C]``.
+
+    ``time_block``: space-to-depth packing factor for the small-channel/huge-T
+    regime (see ``space_to_depth_conv1d``). ``None`` (default) picks it
+    automatically; ``1`` disables.
+    """
 
     features: int
     kernel_size: int
@@ -74,6 +135,7 @@ class WNConv1d(fnn.Module):
     use_bias: bool = True
     use_weight_norm: bool = True
     init_std: Optional[float] = None
+    time_block: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -84,14 +146,23 @@ class WNConv1d(fnn.Module):
                             self.use_weight_norm, self.init_std)
         pad = self.padding if self.padding is not None else \
             get_padding(self.kernel_size, self.dilation)
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=[(pad, pad)],
-            rhs_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
+        sym_same = pad == get_padding(self.kernel_size, self.dilation)
+        r = self.time_block
+        if r is None:
+            r = _auto_time_block(cin, self.features, x.shape[1],
+                                 self.kernel_size, self.stride, self.groups)
+        if r > 1 and sym_same and x.shape[1] % r == 0:
+            out = space_to_depth_conv1d(x, kernel, self.dilation, pad, r,
+                                        self.dtype)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(self.stride,),
+                padding=[(pad, pad)],
+                rhs_dilation=(self.dilation,),
+                feature_group_count=self.groups,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", fnn.initializers.zeros, (self.features,),
                            jnp.float32)
