@@ -140,11 +140,18 @@ def snake(x: Array, alpha: Array, beta: Optional[Array] = None,
 
 
 class Activation1d(fnn.Module):
-    """2x upsample -> snake(-beta) -> 2x downsample (``alias_free_torch/act.py``)."""
+    """2x upsample -> snake(-beta) -> 2x downsample (``alias_free_torch/act.py``).
+
+    ``use_fused`` (default): the whole chain runs as one Pallas kernel
+    (``ops/fused_act1d.py``) — one HBM read + write instead of two
+    [B, 2T, C] intermediates and two depthwise convs; falls back to the
+    unfused modules when the shape doesn't fit the kernel.
+    """
 
     channels: int
     variant: str = "snakebeta"  # 'snake' | 'snakebeta'
     logscale: bool = True
+    use_fused: bool = True
 
     @fnn.compact
     def __call__(self, x: Array) -> Array:
@@ -153,6 +160,12 @@ class Activation1d(fnn.Module):
         beta = None
         if self.variant == "snakebeta":
             beta = self.param("beta", init, (self.channels,), jnp.float32)
+        if self.use_fused and not self.is_initializing():
+            from versband_tpu.ops.fused_act1d import fused_alias_free_snake
+
+            out = fused_alias_free_snake(x, alpha, beta, self.logscale)
+            if out is not None:
+                return out
         x = UpSample1d(2, name="upsample")(x)
         x = snake(x, alpha, beta, self.logscale)
         return DownSample1d(2, name="downsample")(x)
