@@ -144,6 +144,8 @@ VAE_RULES: List[Rule] = [
 HIFIGAN_RULES: List[Rule] = [
     (r"conv_pre\.(.+)$", r"conv_pre/\1", None),
     (r"conv_post\.(.+)$", r"conv_post/\1", None),
+    # BigVGAN nests each upsampler in a one-element ModuleList (ups.i.0)
+    (r"ups\.(\d+)\.0\.(.+)$", r"ups_\1/\2", "convT"),
     (r"ups\.(\d+)\.(.+)$", r"ups_\1/\2", "convT"),
     # resblocks.{i*num_kernels+j} -> resblocks_{i}_{j} needs num_kernels; the
     # flat index is kept here and re-split in convert_state_dict via context.
@@ -240,9 +242,25 @@ CONCAT_DIT_RULES: List[Rule] = [
     (r"final_layer\.conv1d\.(.+)$", r"final_layer/conv1d/\1", None),
 ]
 
+PWG_RULES: List[Rule] = [
+    (r"first_conv\.(.+)$", r"first_conv/\1", None),
+    (r"upsample_net\.conv_in\.(.+)$", r"upsample_net/conv_in/\1", None),
+    # up_layers = [Stretch2d, Conv2d] per scale -> conv index (i-1)//2;
+    # torch Conv2d weight [1,1,fk,2s+1] (H=freq, W=time) maps to our
+    # (time, freq, 1, 1) NHWC stencil — special-cased below.
+    (r"upsample_net\.upsample\.up_layers\.(\d+)\.weight$",
+     r"upsample_net/upsample/UPCONV@\1", None),
+    (r"conv_layers\.(\d+)\.(conv|conv1x1_aux|conv1x1_out|conv1x1_skip)\.(.+)$",
+     r"conv_layers_\1/\2/\3", None),
+    (r"last_conv_layers\.1\.(.+)$", r"last_conv_0/\1", None),
+    (r"last_conv_layers\.3\.(.+)$", r"last_conv_1/\1", None),
+    (r"pitch_embed\.weight$", "pitch_embed/embedding", None),
+    (r"c_proj\.(.+)$", r"c_proj/\1", None),
+]
+
 FAMILY_RULES = {"vae": VAE_RULES, "hifigan": HIFIGAN_RULES,
                 "bigvgan": HIFIGAN_RULES, "dit": DIT_RULES,
-                "concat_dit": CONCAT_DIT_RULES}
+                "concat_dit": CONCAT_DIT_RULES, "pwg": PWG_RULES}
 
 
 def fold_torch_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -306,6 +324,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
             if m:
                 stack_key = f"{m.group(1)}/{m.group(3)}"
                 experts.setdefault(stack_key, {})[int(m.group(2))] = linear_w(w)
+                continue
+            m = re.match(r"(.*)UPCONV@(\d+)$", new)
+            if m:  # PWG upsample Conv2d: [1,1,fk,2s+1] -> (2s+1, fk, 1, 1)
+                j = (int(m.group(2)) - 1) // 2
+                flat[f"{m.group(1)}conv_{j}"] = np.transpose(w, (3, 2, 0, 1))
                 continue
         flat[new] = _auto_layout(new, w, transposed)
 
