@@ -176,3 +176,59 @@ def test_mha_in_proj_split_parity():
     out = CaptionCrossAttention(d, heads).apply(
         {"params": ca}, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_nsf_keys_convert_and_load():
+    """NSF HiFi-GAN torch keys (m_source.l_linear, noise_convs.N) map onto
+    the flax NSFHifiGanGenerator param tree (structural check; SineGen phase
+    semantics are redesigned so numeric parity is defined per-component in
+    test_vocoder_nsf.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from versband_tpu.utils.torch_convert import convert_state_dict
+    from versband_tpu.vocoder.nsf import NSFHifiGanGenerator
+
+    gen = NSFHifiGanGenerator(upsample_initial_channel=32,
+                              upsample_rates=(4, 4),
+                              upsample_kernel_sizes=(8, 8),
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 3, 5),),
+                              use_weight_norm=False)
+    mel = jnp.zeros((1, 80, 16))
+    f0 = jnp.zeros((1, 16))
+    ref_params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        mel, f0)
+
+    # build a torch-style flat state dict with the reference names for every
+    # leaf in the flax tree, then convert and compare tree structure + shapes
+    flat = jax.tree_util.tree_flatten_with_path(ref_params["params"])[0]
+
+    def to_torch_key(path):
+        parts = [p.key for p in path]
+        name = ".".join(parts)
+        name = name.replace("ups_", "ups.").replace("noise_convs_",
+                                                    "noise_convs.")
+        import re
+        name = re.sub(r"resblocks_(\d+)_(\d+)", r"resblocks.\1\2X", name)
+        return name
+
+    # spot-check the two NSF-specific rules directly instead of a full round
+    # trip (the hifigan family round trip is covered elsewhere)
+    sd = {
+        "m_source.l_linear.weight": np.zeros((1, 9), np.float32),
+        "m_source.l_linear.bias": np.zeros((1,), np.float32),
+        "noise_convs.0.weight": np.zeros((16, 1, 8), np.float32),
+        "noise_convs.0.bias": np.zeros((16,), np.float32),
+        "noise_convs.1.weight": np.zeros((8, 1, 1), np.float32),
+        "noise_convs.1.bias": np.zeros((8,), np.float32),
+    }
+    tree = convert_state_dict(sd, "hifigan")["params"]
+    assert tree["m_source"]["l_linear"]["kernel"].shape == (9, 1)
+    assert tree["noise_convs_0"]["kernel"].shape == (8, 1, 16)
+    assert tree["noise_convs_1"]["kernel"].shape == (1, 1, 8)
+    # and they correspond to real module paths in the flax tree
+    assert "m_source" in ref_params["params"]
+    assert "noise_convs_0" in ref_params["params"]

@@ -156,6 +156,9 @@ HIFIGAN_RULES: List[Rule] = [
     (r"resblocks\.(\d+)\.activations\.(\d+)\.act\.(alpha|beta)$",
      r"resblocks@\1/ACT_\2/\3", None),
     (r"activation_post\.act\.(alpha|beta)$", r"activation_post/\1", None),
+    # NSF variant (modules/hifigan_nsf.py): harmonic source + noise branches
+    (r"m_source\.l_linear\.(.+)$", r"m_source/l_linear/\1", None),
+    (r"noise_convs\.(\d+)\.(.+)$", r"noise_convs_\1/\2", None),
 ]
 
 DIT_RULES: List[Rule] = [
