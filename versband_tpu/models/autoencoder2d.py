@@ -62,6 +62,31 @@ class AttnBlock2D(fnn.Module):
         return x + fnn.Conv(C, (1, 1), name="proj_out")(h)
 
 
+class Downsample2D(fnn.Module):
+    """stride-2 conv with the torch (0,1) asymmetric pad
+    (``diffusionmodules/model.py`` Downsample); nested ``conv`` matches the
+    reference key ``down.N.downsample.conv`` for 1:1 conversion."""
+
+    ch: int
+
+    @fnn.compact
+    def __call__(self, h: Array) -> Array:
+        return fnn.Conv(self.ch, (3, 3), strides=(2, 2),
+                        padding=[(0, 1), (0, 1)], name="conv")(h)
+
+
+class Upsample2D(fnn.Module):
+    """nearest-2x + conv (``diffusionmodules/model.py`` Upsample)."""
+
+    ch: int
+
+    @fnn.compact
+    def __call__(self, h: Array) -> Array:
+        B, H, W, C = h.shape
+        h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
+        return fnn.Conv(self.ch, (3, 3), padding="SAME", name="conv")(h)
+
+
 class Encoder2D(fnn.Module):
     ch: int
     ch_mult: Sequence[int] = (1, 2, 4, 8)
@@ -84,9 +109,7 @@ class Encoder2D(fnn.Module):
                 if res in self.attn_resolutions:
                     h = AttnBlock2D(ch, name=f"down_{i}_attn_{j}")(h)
             if i != len(self.ch_mult) - 1:
-                h = fnn.Conv(ch, (3, 3), strides=(2, 2),
-                             padding=[(0, 1), (0, 1)],
-                             name=f"down_{i}_downsample")(h)
+                h = Downsample2D(ch, name=f"down_{i}_downsample")(h)
                 res //= 2
         ch = h.shape[-1]
         h = ResnetBlock2D(ch, name="mid_block_1")(h)
@@ -118,10 +141,7 @@ class Decoder2D(fnn.Module):
             for j in range(self.num_res_blocks + 1):
                 h = ResnetBlock2D(h.shape[-1], ch, name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
-                h = fnn.Conv(C, (3, 3), padding="SAME",
-                             name=f"up_{i}_upsample")(h)
+                h = Upsample2D(h.shape[-1], name=f"up_{i}_upsample")(h)
         h = _norm("norm_out", h.shape[-1])(h)
         return fnn.Conv(self.out_ch, (3, 3), padding="SAME",
                         name="conv_out")(_swish(h))
