@@ -353,6 +353,44 @@ def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
     return {"params": unflatten_params(flat)}
 
 
+def convert_melgan_state_dict(sd: Dict[str, np.ndarray], num_scales: int = 3,
+                              stacks: int = 3) -> Dict[str, Any]:
+    """MelGAN generator conversion (``models/melgan.py:18-192``).
+
+    The reference packs everything into one flat ``nn.Sequential`` whose
+    indices depend on the config, so the map is computed rather than
+    regex-matched. Non-causal default layout:
+    ``[pad, conv_in] + per scale: [act, convT] + stacks x [ResidualStack]``
+    then ``[act, pad, conv_out, tanh]``. ResidualStack params live at
+    ``.stack.2`` (dilated conv), ``.stack.4`` (1x1) and ``.skip_layer``.
+    """
+    sd = fold_torch_weight_norm(sd)
+    index_map: Dict[int, Tuple[str, bool]] = {1: ("conv_in", False)}
+    for i in range(num_scales):
+        base = 2 + i * (2 + stacks)
+        index_map[base + 1] = (f"ups_{i}", True)
+        for j in range(stacks):
+            index_map[base + 2 + j] = (f"stack_{i}_{j}", False)
+    final = 2 + num_scales * (2 + stacks)
+    index_map[final + 2] = ("conv_out", False)
+
+    flat: Dict[str, np.ndarray] = {}
+    for key, w in sd.items():
+        m = re.match(r"melgan\.(\d+)\.(.+)$", key)
+        if not m:
+            continue
+        idx, rest = int(m.group(1)), m.group(2)
+        if idx not in index_map:
+            continue
+        name, transposed = index_map[idx]
+        rest = (rest.replace("stack.2.", "conv_dilated.")
+                .replace("stack.4.", "conv_1x1.")
+                .replace("skip_layer.", "shortcut."))
+        new = _std_suffix(f"{name}/{rest}")
+        flat[new] = _auto_layout(new, w, transposed)
+    return {"params": unflatten_params(flat)}
+
+
 def convert_checkpoint(torch_path: str, out_path: str, family: str,
                        **kw) -> None:
     sd = load_torch_state_dict(torch_path)

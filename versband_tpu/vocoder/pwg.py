@@ -236,9 +236,13 @@ class ResidualStack(fnn.Module):
     @fnn.compact
     def __call__(self, x: Array) -> Array:
         h = fnn.leaky_relu(x, self.negative_slope)
+        # reference pads with ReflectionPad1d before the VALID dilated conv
+        # (residual_stack.py:46-52)
+        pad = (self.kernel_size - 1) // 2 * self.dilation
+        h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
         h = WNConv1d(self.channels, self.kernel_size, dilation=self.dilation,
-                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                     name="conv_dilated")(h)
+                     padding=0, use_weight_norm=self.use_weight_norm,
+                     dtype=self.dtype, name="conv_dilated")(h)
         h = fnn.leaky_relu(h, self.negative_slope)
         h = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm,
                      dtype=self.dtype, name="conv_1x1")(h)
@@ -266,7 +270,10 @@ class MelGANGenerator(fnn.Module):
     @fnn.compact
     def __call__(self, c: Array) -> Array:
         h = jnp.swapaxes(c, 1, 2).astype(self.dtype)
-        h = WNConv1d(self.channels, self.kernel_size,
+        # reference: ReflectionPad1d((k-1)//2) + VALID conv (melgan.py:66-69)
+        pad = (self.kernel_size - 1) // 2
+        h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        h = WNConv1d(self.channels, self.kernel_size, padding=0,
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                      name="conv_in")(h)
         for i, scale in enumerate(self.upsample_scales):
@@ -283,7 +290,8 @@ class MelGANGenerator(fnn.Module):
                     self.negative_slope, self.use_weight_norm, self.dtype,
                     name=f"stack_{i}_{j}")(h)
         h = fnn.leaky_relu(h, self.negative_slope)
-        h = WNConv1d(self.out_channels, self.kernel_size,
+        h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        h = WNConv1d(self.out_channels, self.kernel_size, padding=0,
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                      name="conv_out")(h)
         if self.use_final_nonlinear_activation:
