@@ -78,6 +78,7 @@ class NSFHifiGanGenerator(fnn.Module):
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
     harmonic_num: int = 8
+    source_noise_std: float = 0.003
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -92,6 +93,7 @@ class NSFHifiGanGenerator(fnn.Module):
             f0_up = jnp.repeat(f0[:, :, None], total_up, axis=1)  # nearest
             har_source, _, _ = SourceModuleHnNSF(
                 self.audio_sample_rate, self.harmonic_num,
+                noise_std=self.source_noise_std,
                 name="m_source")(f0_up, noise_key)
 
         x = jnp.swapaxes(mel, 1, 2).astype(self.dtype)
