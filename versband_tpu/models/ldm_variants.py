@@ -25,7 +25,8 @@ import flax.linen as fnn
 import numpy as np
 
 from versband_tpu.models.samplers import (
-    predict_start_from_noise, q_posterior, q_sample)
+    DDIMSampler, PLMSSampler, ddpm_p_losses, predict_start_from_noise,
+    q_posterior, q_sample)
 from versband_tpu.models.cfm import LatentDiffusion
 from versband_tpu.models.schedules import DiffusionSchedule
 
@@ -170,6 +171,168 @@ def classifier_guided_eps(eps: Array, x: Array, t: Array, y: Array,
     s1m = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)[
         t.astype(jnp.int32)].reshape(-1, *([1] * (x.ndim - 1)))
     return eps - scale * s1m * grad
+
+
+class LatentDiffusionInpaint(LatentDiffusion):
+    """TRAINABLE masked-latent inpainting LDM.
+
+    Re-design of ``LatentDiffusion_audioinpaint``
+    (``ddpm_audio_inpaint.py:34-1080``): hybrid conditioning where
+    ``c_concat`` is the channel-concat of the encoded masked mel and the
+    latent-resized mask (``get_input``, ``ddpm_audio_inpaint.py:286-298``),
+    ``c_crossattn`` is the learned text conditioning, and training is the
+    classic DDPM eps/x0 loss with VLB weighting (``p_losses``,
+    ``ddpm_audio_inpaint.py:700-733``). The backbone sees
+    ``concat([x_noisy, c_concat], channel)`` with ``context=c_crossattn``
+    exactly as the reference's hybrid DiffusionWrapper (``ddpm.py:1418-1427``).
+    """
+
+    def __init__(self, *args, parameterization: str = "eps",
+                 original_elbo_weight: float = 0.0,
+                 test_repeat: int = 1, test_numsteps: Optional[int] = None,
+                 **kwargs):
+        kwargs.setdefault("conditioning_key", "hybrid")
+        super().__init__(*args, **kwargs)
+        self.parameterization = parameterization
+        self.original_elbo_weight = original_elbo_weight
+        self.test_repeat = test_repeat
+        self.test_numsteps = test_numsteps or self.num_timesteps
+
+    # --- conditioning --------------------------------------------------------
+    @staticmethod
+    def resize_mask(mask: Array, t_latent: int) -> Array:
+        """[B, 1, T_mel] -> [B, 1, T_latent] nearest resize — the 1-D analogue
+        of the reference's ``F.interpolate(mask, size=z.shape[-2:])``
+        (``ddpm_audio_inpaint.py:296``, default nearest mode)."""
+        return jax.image.resize(
+            mask, mask.shape[:-1] + (t_latent,), method="nearest")
+
+    def get_input(self, vae_params, cond_params, batch, key=None):
+        """batch {'image', 'masked_image', 'mask', cond_stage_key} ->
+        (z, {'c_concat', 'c_crossattn'}) (``ddpm_audio_inpaint.py:273-298``)."""
+        k1 = k2 = None
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+        z = self.encode_first_stage(vae_params, batch[self.first_stage_key], k1)
+        zm = self.encode_first_stage(vae_params, batch["masked_image"], k2)
+        mask = self.resize_mask(jnp.asarray(batch["mask"]), zm.shape[-1])
+        c_concat = jnp.concatenate([zm, mask.astype(zm.dtype)], axis=1)
+        c_crossattn = self.get_learned_conditioning(
+            cond_params, batch[self.cond_stage_key])
+        return z, {"c_concat": c_concat, "c_crossattn": c_crossattn}
+
+    # --- model forward (hybrid wrapper) --------------------------------------
+    def apply_model(self, params, x_noisy: Array, t: Array, cond, step=0,
+                    train: bool = False, rngs=None):
+        xc = jnp.concatenate([x_noisy, cond["c_concat"]], axis=1)
+        return self.model.apply(params, xc, t, cond["c_crossattn"],
+                                step=step, train=train, rngs=rngs)
+
+    def _sampler_apply(self):
+        """(params, x, t, context={'c_concat','c_crossattn'}) -> (out, aux)
+        adapter for the DDIM/PLMS/ancestral samplers and ``ddpm_p_losses``."""
+        def apply_fn(p, x, t, context):
+            return self.apply_model(p, x, t, context)
+        return apply_fn
+
+    # --- training ------------------------------------------------------------
+    def p_losses(self, params, x_start: Array, cond, t: Array,
+                 key: jax.Array) -> Tuple[Array, dict]:
+        noise = jax.random.normal(key, x_start.shape, x_start.dtype)
+        return ddpm_p_losses(
+            self._sampler_apply(), params, self.schedule, x_start,
+            t, cond, noise, parameterization=self.parameterization,
+            l_simple_weight=self.l_simple_weight,
+            original_elbo_weight=self.original_elbo_weight)
+
+    def training_losses(self, params, x_start: Array, cond,
+                        key: jax.Array) -> Tuple[Array, dict]:
+        """shared_step/forward: t ~ randint(0, T)
+        (``ddpm_audio_inpaint.py:546-559``)."""
+        k_t, k_noise = jax.random.split(key)
+        t = jax.random.randint(k_t, (x_start.shape[0],), 0, self.num_timesteps)
+        return self.p_losses(params, x_start, cond, t, k_noise)
+
+    # --- inference -----------------------------------------------------------
+    def sample_inpaint(self, params, cond, key: jax.Array,
+                       shape: Optional[Tuple[int, ...]] = None,
+                       ddim_steps: Optional[int] = None,
+                       eta: float = 0.0) -> Array:
+        """test_step sampling (``ddpm_audio_inpaint.py:512-544``): conditional
+        generation from the trained hybrid model (the mask/masked-latent ride
+        in through ``c_concat``). DDIM when ``ddim_steps`` is given, else full
+        ancestral steps via DDIM with S=num_timesteps."""
+        if shape is None:
+            cc = cond["c_concat"]
+            shape = (cc.shape[0], self.mel_dim, cc.shape[-1])
+        sampler = DDIMSampler(self._sampler_apply(), self.schedule)
+        return sampler.sample(params, shape, cond, key,
+                              S=ddim_steps or self.test_numsteps, eta=eta)
+
+
+class AudioLDM(LatentDiffusion):
+    """AudioLDM-style text-to-audio LDM with the best-of-N CLAP-reranked
+    generation loop (``audioldm.py:634-722``):
+
+      sample ``n_candidates`` latents per caption (captions tiled along the
+      batch), DDIM/PLMS with CFG -> outlier-clip (``audioldm.py:699-701``)
+      -> decode_first_stage -> vocode mel->waveform -> CLAP text-audio
+      similarity -> keep, per caption, the candidate with the reference's
+      interleaved indexing ``best = i + argmax(sim[i::B]) * B``
+      (``audioldm.py:704-717``).
+    """
+
+    def generate_batch(self, params, vae_params, cond, captions,
+                       vocoder_fn: Callable[[Array], np.ndarray],
+                       clap, key: jax.Array, *,
+                       uncond=None, guidance_scale: float = 1.0,
+                       n_candidates: int = 3, ddim_steps: int = 200,
+                       eta: float = 1.0, use_plms: bool = False,
+                       shape: Optional[Tuple[int, ...]] = None) -> np.ndarray:
+        """Returns the best waveform per caption, [B, n_samples].
+
+        ``cond``/``uncond`` are already-encoded context trees for ONE copy of
+        the batch; they are tiled ``n_candidates``× here (the reference tiles
+        ``text * n_candidate_gen_per_text``, ``audioldm.py:679-680``).
+        ``vocoder_fn``: mel [B, 80, T] -> np waveform [B, n]; ``clap``: a
+        ``CLAPWrapper``-like object (get_audio_embeddings /
+        get_text_embeddings / compute_similarity).
+        """
+        B = len(captions)
+        tile = lambda c: jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a] * n_candidates, axis=0), c)
+        ctx = tile(cond)
+        uctx = tile(uncond) if uncond is not None else None
+        if shape is None:
+            shape = (B, self.mel_dim, self.mel_length)
+        full_shape = (B * n_candidates,) + tuple(shape[1:])
+
+        apply_fn = lambda p, x, t, c: self.model.apply(p, x, t, c)
+        cls = PLMSSampler if use_plms else DDIMSampler
+        sampler = cls(apply_fn, self.schedule)
+        kw = dict(S=ddim_steps,
+                  unconditional_guidance_scale=guidance_scale,
+                  unconditional_conditioning=uctx)
+        if not use_plms:
+            kw["eta"] = eta
+        samples = sampler.sample(params, full_shape, ctx, key, **kw)
+        # audioldm.py:699-701 — clip runaway latents before decoding
+        samples = jnp.where(jnp.max(jnp.abs(samples)) > 1e2,
+                            jnp.clip(samples, -10.0, 10.0), samples)
+        mel = self.decode_first_stage(vae_params, samples)
+        waveform = np.asarray(vocoder_fn(mel))
+
+        if n_candidates <= 1:
+            return waveform
+        a_emb = clap.get_audio_embeddings(waveform)
+        t_emb = clap.get_text_embeddings(list(captions))
+        # [B*n, B] similarity; candidate j of caption i sits at row i + j*B
+        sims = np.asarray(clap.compute_similarity(a_emb, t_emb))
+        best_index = []
+        for i in range(B):
+            candidates = sims[i::B, i]
+            best_index.append(i + int(np.argmax(candidates)) * B)
+        return waveform[best_index]
 
 
 class LatentDiffusionOrder(LatentDiffusion):

@@ -53,7 +53,8 @@ TARGET_ALIASES = {
     # by structural diff) — same implementation serves both targets
     "ldm.models.diffusion.ddpm_audio_order.LatentDiffusion_audio": "versband_tpu.models.ldm_variants.LatentDiffusionOrder",
     "ldm.models.diffusion.ddpm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
-    "ldm.models.diffusion.audioldm.LatentDiffusion": "versband_tpu.models.cfm.LatentDiffusion",
+    "ldm.models.diffusion.audioldm.LatentDiffusion": "versband_tpu.models.ldm_variants.AudioLDM",
+    "ldm.models.diffusion.ddpm_audio_inpaint.LatentDiffusion_audioinpaint": "versband_tpu.models.ldm_variants.LatentDiffusionInpaint",
     "ldm.models.diffusion.classifier.NoisyLatentImageClassifier": "versband_tpu.models.ldm_variants.NoiseLevelClassifier",
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeImprovedDiTV2": "versband_tpu.models.dit.BandMoeDiT",
     "ldm.modules.diffusionmodules.vocal2music_moe.TxtFlagLargeDiT": "versband_tpu.models.dit.BandMoeDiT",
