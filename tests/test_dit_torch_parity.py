@@ -1,4 +1,4 @@
-"""Full tiny Band-MOE DiT torch parity.
+"""Full Band-MOE DiT torch parity — tiny AND shipped geometry.
 
 A torch replica built with the REFERENCE's module naming
 (``vocal2music_moe.py``: layers.N.attention.wq, feed_forward.*_experts.i.wN,
@@ -11,6 +11,12 @@ sides run Gumbel-softmax WITHOUT noise (softmax for the high-level gate,
 argmax one-hot for the per-token expert choice). The reference adds Gumbel
 noise even at eval, which makes bit-parity impossible by construction — the
 deterministic limit is the comparable quantity.
+
+Geometries:
+  * tiny  — D=16/h2/d1/E2 (fast converter-rule check);
+  * shipped — D=768/h8/d4/E4/ori 1024/in_ch 20/multiple_of 256, exactly
+    ``configs/vocal2music.yaml:33-43`` at short T (VERDICT r2 item 1: parity
+    must hold at the shipped width, not just toy width).
 """
 
 import math
@@ -27,12 +33,15 @@ import jax.numpy as jnp
 from versband_tpu.models.dit import BandMoeDiT
 from versband_tpu.utils.torch_convert import convert_state_dict
 
-D, HEADS, DEPTH, E = 16, 2, 1, 2
-ORI, MULT = 12, 8
 MIDI_V, BEATS_V = 130, 3
 
+TINY = dict(D=16, HEADS=2, DEPTH=1, E=2, ORI=12, MULT=8, IN_CH=4, MAX_LEN=64)
+# configs/vocal2music.yaml unet_config.params, reference defaults for MULT
+SHIPPED = dict(D=768, HEADS=8, DEPTH=4, E=4, ORI=1024, MULT=256, IN_CH=20,
+               MAX_LEN=64)
 
-def swiglu_hidden(dim, multiple_of=MULT):
+
+def swiglu_hidden(dim, multiple_of):
     h = int(2 * dim / 3)
     return multiple_of * ((h + multiple_of - 1) // multiple_of)
 
@@ -49,9 +58,9 @@ class TRMSNorm(nn.Module):
 
 
 class TFeedForward(nn.Module):
-    def __init__(self, dim, hidden):
+    def __init__(self, dim, hidden, mult):
         super().__init__()
-        h = swiglu_hidden(hidden)
+        h = swiglu_hidden(hidden, mult)
         self.w1 = nn.Linear(dim, h, bias=False)
         self.w2 = nn.Linear(h, dim, bias=False)
         self.w3 = nn.Linear(dim, h, bias=False)
@@ -99,41 +108,45 @@ class TAttention(nn.Module):
 
 
 class TMoE(nn.Module):
-    """Reference Band-MOE in its deterministic-eval limit."""
+    """Reference Band-MOE in its deterministic-eval limit
+    (``vocal2music_moe.py:39-186``; cross_attention heads hardcoded 8 at
+    ``:79``)."""
 
-    def __init__(self, dim):
+    def __init__(self, dim, e, mult):
         super().__init__()
+        self.e = e
         self.high_level_gating_network = nn.Linear(dim, 2)
-        self.caption_gating_network = nn.Linear(dim, E)
-        self.acoustic_gating_network = nn.Linear(dim, E)
+        self.caption_gating_network = nn.Linear(dim, e)
+        self.acoustic_gating_network = nn.Linear(dim, e)
         self.caption_experts = nn.ModuleDict(
-            {str(i): TFeedForward(dim, dim) for i in range(E)})
+            {str(i): TFeedForward(dim, dim, mult) for i in range(e)})
         self.acoustic_experts = nn.ModuleDict(
-            {str(i): TFeedForward(dim, dim) for i in range(E)})
+            {str(i): TFeedForward(dim, dim, mult) for i in range(e)})
         self.freq_experts = nn.ModuleDict(
-            {str(i): TFeedForward(dim, dim) for i in range(E)})
+            {str(i): TFeedForward(dim, dim, mult) for i in range(e)})
         self.cross_attention = nn.MultiheadAttention(dim, 8, batch_first=True)
 
     def forward(self, x, t_emb, caption, acoustic):
         B, T, dim = x.shape
+        e = self.e
         cap_feat, _ = self.cross_attention(x, caption, caption)
         hl = torch.softmax(self.high_level_gating_network(t_emb), -1)
         cap_mask = hl[:, 0].view(B, 1, 1)
         ac_mask = hl[:, 1].view(B, 1, 1)
         # deterministic hard routing: one-hot argmax (tau irrelevant)
         cap_p = F.one_hot(self.caption_gating_network(cap_feat).argmax(-1),
-                          E).float()
+                          e).float()
         ac_p = F.one_hot(self.acoustic_gating_network(acoustic).argmax(-1),
-                         E).float()
+                         e).float()
         y = torch.zeros_like(x)
-        for i in range(E):
+        for i in range(e):
             y = y + self.caption_experts[str(i)](x) * \
                 cap_p[..., i:i + 1] * cap_mask
             y = y + self.acoustic_experts[str(i)](x) * \
                 ac_p[..., i:i + 1] * ac_mask
-        band = dim // E
+        band = dim // e
         z = torch.zeros_like(y)
-        for i in range(E):
+        for i in range(e):
             region = torch.zeros_like(y)
             region[:, :, band * i: band * (i + 1)] = 1.0
             z[:, :, band * i: band * (i + 1)] = self.freq_experts[str(i)](
@@ -142,10 +155,10 @@ class TMoE(nn.Module):
 
 
 class TBlock(nn.Module):
-    def __init__(self, dim, heads):
+    def __init__(self, dim, heads, e, mult):
         super().__init__()
         self.attention = TAttention(dim, heads, dim)
-        self.feed_forward = TMoE(dim)
+        self.feed_forward = TMoE(dim, e, mult)
         self.attention_norm = TRMSNorm(dim)
         self.ffn_norm = TRMSNorm(dim)
         self.attention_y_norm = TRMSNorm(dim)
@@ -195,10 +208,13 @@ class TConditionEmbedder(nn.Module):
 
 
 class TDiT(nn.Module):
-    """Tiny TxtFlagLargeImprovedDiTV2 with reference names."""
+    """TxtFlagLargeImprovedDiTV2 replica with reference names, any geometry."""
 
-    def __init__(self):
+    def __init__(self, g):
         super().__init__()
+        D, HEADS, DEPTH = g["D"], g["HEADS"], g["DEPTH"]
+        E, ORI, MULT = g["E"], g["ORI"], g["MULT"]
+        IN_CH, MAX_LEN = g["IN_CH"], g["MAX_LEN"]
         self.t_embedder = TTimestepEmbedder(D)
         self.c_embedder = TConditionEmbedder(D, ORI)
         self.cap_embedder = nn.Sequential(nn.LayerNorm(D), nn.Linear(D, D))
@@ -207,18 +223,19 @@ class TDiT(nn.Module):
         self.midi_proj = nn.Sequential(nn.Conv1d(D, D, 5, padding=2))
         self.beats_proj = nn.Sequential(nn.Conv1d(D, D, 5, padding=2))
         self.final_proj = nn.Conv1d(D, D, 1)
-        self.proj_in = nn.Conv1d(4, D, 5, padding=2)
-        self.layers = nn.ModuleList([TBlock(D, HEADS) for _ in range(DEPTH)])
+        self.proj_in = nn.Conv1d(IN_CH, D, 5, padding=2)
+        self.layers = nn.ModuleList(
+            [TBlock(D, HEADS, E, MULT) for _ in range(DEPTH)])
         self.final_layer = nn.Module()
         self.final_layer.adaLN_modulation = nn.Sequential(
             nn.SiLU(), nn.Linear(D, 2 * D))
-        self.final_layer.linear = nn.Linear(D, 4)
+        self.final_layer.linear = nn.Linear(D, IN_CH)
         self.norm_final = nn.LayerNorm(D, elementwise_affine=False, eps=1e-6)
 
         hd = D // HEADS
         freqs = 1.0 / (10000 ** (torch.arange(0, hd, 2).float() / hd))
-        t = torch.arange(64).float()
-        self.freqs_cis = torch.polar(torch.ones(64, hd // 2),
+        t = torch.arange(MAX_LEN).float()
+        self.freqs_cis = torch.polar(torch.ones(MAX_LEN, hd // 2),
                                      torch.outer(t, freqs))
 
     def forward(self, x, t, midi, beats, caption):
@@ -243,25 +260,27 @@ class TDiT(nn.Module):
         return self.final_layer.linear(h).transpose(1, 2)
 
 
-def test_band_moe_dit_full_parity():
+def _run_parity(g, atol, rtol, t_mel=16):
     torch.manual_seed(0)
-    tm = TDiT().eval()
-    # convert, mapping the torch leaky_relu+pool stem convention:
+    with torch.no_grad():
+        tm = TDiT(g).eval()
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
           if "freqs_cis" not in k}
     params = convert_state_dict(sd, "dit")
 
-    model = BandMoeDiT(in_channels=4, context_dim=D, hidden_size=D,
-                       depth=DEPTH, num_heads=HEADS, max_len=64,
-                       num_experts=E, ori_dim=ORI, multiple_of=MULT)
+    model = BandMoeDiT(in_channels=g["IN_CH"], context_dim=g["D"],
+                       hidden_size=g["D"], depth=g["DEPTH"],
+                       num_heads=g["HEADS"], max_len=g["MAX_LEN"],
+                       num_experts=g["E"], ori_dim=g["ORI"],
+                       multiple_of=g["MULT"])
 
     rng = np.random.RandomState(0)
-    B, T_mel = 2, 16
-    x = rng.randn(B, 4, T_mel // 2).astype(np.float32)
+    B = 2
+    x = rng.randn(B, g["IN_CH"], t_mel // 2).astype(np.float32)
     t = np.array([17.0, 800.0], np.float32)
-    midi = rng.randint(0, MIDI_V, (B, T_mel)).astype(np.int64)
-    beats = rng.randint(0, BEATS_V, (B, T_mel)).astype(np.int64)
-    caption = rng.randn(B, 5, ORI).astype(np.float32)
+    midi = rng.randint(0, MIDI_V, (B, t_mel)).astype(np.int64)
+    beats = rng.randint(0, BEATS_V, (B, t_mel)).astype(np.int64)
+    caption = rng.randn(B, 5, g["ORI"]).astype(np.float32)
 
     with torch.no_grad():
         ref = tm(torch.from_numpy(x), torch.from_numpy(t),
@@ -273,4 +292,20 @@ def test_band_moe_dit_full_parity():
            "c_crossattn": jnp.asarray(caption)}
     out, lb = model.apply(params, jnp.asarray(x), jnp.asarray(t), ctx,
                           train=False)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=rtol)
+
+
+def test_band_moe_dit_full_parity():
+    _run_parity(TINY, atol=5e-4, rtol=1e-3)
+
+
+def test_band_moe_dit_shipped_geometry_parity():
+    """VERDICT r2 item 1: the exact shipped width (768/d4/h8/E4/ori1024/20ch).
+
+    Catches converter bugs that only manifest at size: expert stacking at E=4,
+    head-split order at 8 heads, depth>1 block indexing, the ori_dim-1024
+    caption projection. T is short (32 mel frames) to keep torch-CPU cost
+    trivial; width is what matters. Wider accumulations warrant a slightly
+    looser atol than the tiny case.
+    """
+    _run_parity(SHIPPED, atol=2e-3, rtol=1e-3, t_mel=32)
