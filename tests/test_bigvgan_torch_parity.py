@@ -26,6 +26,10 @@ RATES, KS = (4, 4), (8, 8)
 RK = 3
 B, T_MEL = 1, 16
 
+# class defaults = the 24 kHz / hop-320 shipped checkpoints' geometry
+SHIPPED = dict(mels=80, ch0=512, rates=(5, 4, 4, 4), ks=(9, 8, 8, 8),
+               rks=(3, 7, 11))
+
 
 class TSnakeBeta(nn.Module):
     def __init__(self, ch):
@@ -92,7 +96,7 @@ class TActivation1d(nn.Module):
 
 
 class TAMPBlock1(nn.Module):
-    def __init__(self, ch, k=RK, dilations=(1, 3, 5)):
+    def __init__(self, ch, k, dilations=(1, 3, 5)):
         super().__init__()
         self.convs1 = nn.ModuleList([
             weight_norm(nn.Conv1d(ch, ch, k, dilation=d,
@@ -114,25 +118,31 @@ class TAMPBlock1(nn.Module):
 
 
 class TBigVGAN(nn.Module):
-    def __init__(self):
+    def __init__(self, mels=MELS, ch0=CH0, rates=RATES, ks=KS, rks=(RK,)):
         super().__init__()
-        self.conv_pre = weight_norm(nn.Conv1d(MELS, CH0, 7, padding=3))
+        self.nk = len(rks)
+        self.n_up = len(rates)
+        self.conv_pre = weight_norm(nn.Conv1d(mels, ch0, 7, padding=3))
         self.ups = nn.ModuleList()
         self.resblocks = nn.ModuleList()
-        ch = CH0
-        for i, (u, k) in enumerate(zip(RATES, KS)):
+        ch = ch0
+        for i, (u, k) in enumerate(zip(rates, ks)):
             self.ups.append(nn.ModuleList([weight_norm(
                 nn.ConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2))]))
             ch //= 2
-            self.resblocks.append(TAMPBlock1(ch))
+            for rk in rks:
+                self.resblocks.append(TAMPBlock1(ch, rk))
         self.activation_post = TActivation1d(ch)
         self.conv_post = weight_norm(nn.Conv1d(ch, 1, 7, padding=3))
 
     def forward(self, x):
         x = self.conv_pre(x)
-        for i in range(len(RATES)):
+        for i in range(self.n_up):
             x = self.ups[i][0](x)
-            x = self.resblocks[i](x)  # one kernel size per stage
+            xs = 0
+            for j in range(self.nk):  # models.py:180-187 kernel-sum / nk
+                xs = xs + self.resblocks[i * self.nk + j](x)
+            x = xs / self.nk
         x = self.activation_post(x)
         return torch.tanh(self.conv_post(x))
 
@@ -158,3 +168,34 @@ def test_bigvgan_full_generator_torch_parity():
 
     out = fm.apply(params, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=3e-4)
+
+
+def test_bigvgan_shipped_geometry_parity():
+    """VERDICT r2 item 1: full shipped geometry (80 mels, 512 ch, rates
+    5/4/4/4 = hop 320, resblock kernels 3/7/11) at short T."""
+    g = SHIPPED
+    torch.manual_seed(2)
+    with torch.no_grad():
+        tm = TBigVGAN(**g).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if "filter" not in k}
+    params = convert_state_dict(sd, "bigvgan",
+                                num_resblock_kernels=len(g["rks"]))
+
+    fm = BigVGANGenerator(num_mels=g["mels"],
+                          upsample_initial_channel=g["ch0"],
+                          upsample_rates=g["rates"],
+                          upsample_kernel_sizes=g["ks"],
+                          resblock_kernel_sizes=g["rks"],
+                          resblock_dilation_sizes=((1, 3, 5),) * len(g["rks"]),
+                          activation="snakebeta", snake_logscale=True,
+                          use_weight_norm=False)
+
+    rng = np.random.RandomState(3)
+    mel = rng.randn(1, g["mels"], 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(mel)).numpy()[:, 0]
+
+    out = fm.apply(params, jnp.asarray(mel))
+    assert out.shape == ref.shape == (1, 8 * 320)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)

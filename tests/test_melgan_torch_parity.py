@@ -22,12 +22,12 @@ B, T_MEL = 2, 12
 
 
 class TResidualStack(nn.Module):
-    def __init__(self, ch, dilation):
+    def __init__(self, ch, dilation, stack_k=STACK_K):
         super().__init__()
         self.stack = nn.Sequential(
             nn.LeakyReLU(0.2),
-            nn.ReflectionPad1d((STACK_K - 1) // 2 * dilation),
-            weight_norm(nn.Conv1d(ch, ch, STACK_K, dilation=dilation)),
+            nn.ReflectionPad1d((stack_k - 1) // 2 * dilation),
+            weight_norm(nn.Conv1d(ch, ch, stack_k, dilation=dilation)),
             nn.LeakyReLU(0.2),
             weight_norm(nn.Conv1d(ch, ch, 1)),
         )
@@ -37,18 +37,20 @@ class TResidualStack(nn.Module):
         return self.stack(c) + self.skip_layer(c)
 
 
-def build_torch_melgan():
-    layers = [nn.ReflectionPad1d((K - 1) // 2),
-              weight_norm(nn.Conv1d(IN, CH, K))]
-    for i, scale in enumerate(SCALES):
+def build_torch_melgan(in_ch=IN, ch=CH, k=K, scales=SCALES,
+                       stack_k=STACK_K, stacks=STACKS):
+    layers = [nn.ReflectionPad1d((k - 1) // 2),
+              weight_norm(nn.Conv1d(in_ch, ch, k))]
+    for i, scale in enumerate(scales):
         layers += [nn.LeakyReLU(0.2)]
         layers += [weight_norm(nn.ConvTranspose1d(
-            CH // (2 ** i), CH // (2 ** (i + 1)), scale * 2, stride=scale,
+            ch // (2 ** i), ch // (2 ** (i + 1)), scale * 2, stride=scale,
             padding=scale // 2 + scale % 2, output_padding=scale % 2))]
-        for j in range(STACKS):
-            layers += [TResidualStack(CH // (2 ** (i + 1)), STACK_K ** j)]
-    layers += [nn.LeakyReLU(0.2), nn.ReflectionPad1d((K - 1) // 2),
-               weight_norm(nn.Conv1d(CH // (2 ** len(SCALES)), 1, K)),
+        for j in range(stacks):
+            layers += [TResidualStack(ch // (2 ** (i + 1)), stack_k ** j,
+                                      stack_k)]
+    layers += [nn.LeakyReLU(0.2), nn.ReflectionPad1d((k - 1) // 2),
+               weight_norm(nn.Conv1d(ch // (2 ** len(scales)), 1, k)),
                nn.Tanh()]
     return nn.Sequential(*layers)
 
@@ -72,3 +74,29 @@ def test_melgan_full_generator_torch_parity():
 
     out = fm.apply(params, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_melgan_shipped_geometry_parity():
+    """VERDICT r2 item 1: shipped MelGAN geometry — 80 mels, 512 channels,
+    scales 8*8*5 = hop 320, 3 stacks — at short T."""
+    torch.manual_seed(9)
+    scales = (8, 8, 5)
+    with torch.no_grad():
+        tm = build_torch_melgan(in_ch=80, ch=512, k=7, scales=scales,
+                                stack_k=3, stacks=3).eval()
+    sd = {f"melgan.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    params = convert_melgan_state_dict(sd, num_scales=len(scales), stacks=3)
+
+    fm = MelGANGenerator(in_channels=80, channels=512, kernel_size=7,
+                         upsample_scales=scales, stack_kernel_size=3,
+                         stacks=3, use_weight_norm=False)
+
+    rng = np.random.RandomState(10)
+    mel = rng.randn(1, 80, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(mel)).numpy()
+
+    out = fm.apply(params, jnp.asarray(mel))
+    assert np.asarray(out).shape == ref.shape == (1, 1, 8 * 320)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)

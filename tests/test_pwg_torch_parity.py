@@ -33,14 +33,14 @@ T_WAV = (T_MEL - 2 * ACW) * UP
 
 
 class TResidualBlock(nn.Module):
-    def __init__(self, dilation):
+    def __init__(self, dilation, res=RES, gate=GATE, skip=SKIP, aux=AUX):
         super().__init__()
         pad = (K - 1) // 2 * dilation
-        self.conv = weight_norm(nn.Conv1d(RES, GATE, K, padding=pad,
+        self.conv = weight_norm(nn.Conv1d(res, gate, K, padding=pad,
                                           dilation=dilation))
-        self.conv1x1_aux = weight_norm(nn.Conv1d(AUX, GATE, 1, bias=False))
-        self.conv1x1_out = weight_norm(nn.Conv1d(GATE // 2, RES, 1))
-        self.conv1x1_skip = weight_norm(nn.Conv1d(GATE // 2, SKIP, 1))
+        self.conv1x1_aux = weight_norm(nn.Conv1d(aux, gate, 1, bias=False))
+        self.conv1x1_out = weight_norm(nn.Conv1d(gate // 2, res, 1))
+        self.conv1x1_skip = weight_norm(nn.Conv1d(gate // 2, skip, 1))
 
     def forward(self, x, c):
         residual = x
@@ -65,10 +65,10 @@ class TStretch2d(nn.Module):
 
 
 class TUpsampleNetwork(nn.Module):
-    def __init__(self):
+    def __init__(self, scales=SCALES):
         super().__init__()
         self.up_layers = nn.ModuleList()
-        for scale in SCALES:
+        for scale in scales:
             self.up_layers.append(TStretch2d(scale))
             conv = nn.Conv2d(1, 1, (1, scale * 2 + 1), padding=(0, scale),
                              bias=False)
@@ -83,27 +83,29 @@ class TUpsampleNetwork(nn.Module):
 
 
 class TConvInUpsample(nn.Module):
-    def __init__(self):
+    def __init__(self, aux=AUX, scales=SCALES):
         super().__init__()
         self.conv_in = weight_norm(
-            nn.Conv1d(AUX, AUX, 2 * ACW + 1, bias=False))
-        self.upsample = TUpsampleNetwork()
+            nn.Conv1d(aux, aux, 2 * ACW + 1, bias=False))
+        self.upsample = TUpsampleNetwork(scales)
 
     def forward(self, c):
         return self.upsample(self.conv_in(c))
 
 
 class TPWG(nn.Module):
-    def __init__(self):
+    def __init__(self, layers=LAYERS, stacks=STACKS, res=RES, gate=GATE,
+                 skip=SKIP, aux=AUX, scales=SCALES):
         super().__init__()
-        self.first_conv = weight_norm(nn.Conv1d(1, RES, 1))
-        self.upsample_net = TConvInUpsample()
-        lpc = LAYERS // STACKS
+        self.first_conv = weight_norm(nn.Conv1d(1, res, 1))
+        self.upsample_net = TConvInUpsample(aux, scales)
+        lpc = layers // stacks
         self.conv_layers = nn.ModuleList(
-            [TResidualBlock(2 ** (i % lpc)) for i in range(LAYERS)])
+            [TResidualBlock(2 ** (i % lpc), res, gate, skip, aux)
+             for i in range(layers)])
         self.last_conv_layers = nn.ModuleList([
-            nn.ReLU(), weight_norm(nn.Conv1d(SKIP, SKIP, 1)),
-            nn.ReLU(), weight_norm(nn.Conv1d(SKIP, 1, 1))])
+            nn.ReLU(), weight_norm(nn.Conv1d(skip, skip, 1)),
+            nn.ReLU(), weight_norm(nn.Conv1d(skip, 1, 1))])
 
     def forward(self, x, c):
         c = self.upsample_net(c)
@@ -140,3 +142,33 @@ def test_pwg_full_generator_torch_parity():
 
     out = fm.apply(params, jnp.asarray(noise), jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_pwg_shipped_geometry_parity():
+    """VERDICT r2 item 1: shipped PWG geometry — 30 layers / 3 stacks,
+    64/128/64 channels, aux 80, upsample 4*4*4*5 = hop 320 — at short T."""
+    torch.manual_seed(7)
+    scales = (4, 4, 4, 5)
+    with torch.no_grad():
+        tm = TPWG(layers=30, stacks=3, res=64, gate=128, skip=64, aux=80,
+                  scales=scales).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, "pwg")
+
+    fm = ParallelWaveGANGenerator(
+        layers=30, stacks=3, residual_channels=64, gate_channels=128,
+        skip_channels=64, aux_channels=80, aux_context_window=ACW,
+        upsample_scales=scales, use_weight_norm=False)
+
+    t_mel = 8
+    t_wav = (t_mel - 2 * ACW) * 320
+    rng = np.random.RandomState(8)
+    noise = rng.randn(1, 1, t_wav).astype(np.float32)
+    mel = rng.randn(1, 80, t_mel).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(noise), torch.from_numpy(mel)).numpy()
+
+    out = fm.apply(params, jnp.asarray(noise), jnp.asarray(mel))
+    assert np.asarray(out).shape == ref.shape == (1, 1, t_wav)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)

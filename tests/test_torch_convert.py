@@ -232,3 +232,30 @@ def test_nsf_keys_convert_and_load():
     # and they correspond to real module paths in the flax tree
     assert "m_source" in ref_params["params"]
     assert "noise_convs_0" in ref_params["params"]
+
+
+def test_hifigan_shipped_geometry_parity():
+    """VERDICT r2 item 1: the real 320x-hop generator (512 ch, rates 5/4/4/4,
+    kernels 9/8/8/8, resblock kernels 3/7/11) at short T."""
+    torch.manual_seed(3)
+    with torch.no_grad():
+        tm = THifiGan(ch0=512, rates=(5, 4, 4, 4), kernels=(9, 8, 8, 8),
+                      rk=(3, 7, 11)).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    mel = np.random.RandomState(4).randn(1, 80, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(mel)).numpy()[:, 0]
+
+    from versband_tpu.vocoder.hifigan import HifiGanGenerator
+
+    params = convert_state_dict(sd, "hifigan", num_resblock_kernels=3)
+    gen = HifiGanGenerator(upsample_initial_channel=512,
+                           upsample_rates=(5, 4, 4, 4),
+                           upsample_kernel_sizes=(9, 8, 8, 8),
+                           resblock_kernel_sizes=(3, 7, 11),
+                           resblock_dilation_sizes=((1, 3, 5),) * 3,
+                           use_weight_norm=False)
+    wav = gen.apply(params, jnp.asarray(mel))
+    assert wav.shape == ref.shape == (1, 8 * 320)
+    np.testing.assert_allclose(np.asarray(wav), ref, atol=1e-3, rtol=1e-3)
