@@ -194,7 +194,7 @@ class CaptionGenerator:
 
     def _coin(self) -> float:
         if self.templates == "reference" and not self._seeded:
-            return float(np.random.random(1))
+            return float(np.random.random(1)[0])
         return float(self.rng.random())
 
     def _shuffled(self, lst: List[str]) -> List[str]:

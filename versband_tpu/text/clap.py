@@ -40,8 +40,14 @@ class Projection(fnn.Module):
 
 
 class ConvBlock(fnn.Module):
-    """Two 3x3 BN-ReLU convs + avg pool (``audio.py:13-49``), eval-mode BN
-    folded into trainable scale/bias (CLAP is frozen)."""
+    """Two 3x3 conv -> eval-BN -> ReLU, then avg pool (``audio.py:13-49``).
+
+    Eval-mode ``nn.BatchNorm2d`` is a per-channel AFFINE transform through the
+    running statistics — NOT a normalization of the incoming batch — so it is
+    represented here as folded (scale, bias) pairs; the converter computes
+    ``scale = gamma / sqrt(running_var + eps)`` and
+    ``bias = beta - running_mean * scale`` (CLAP is always frozen in the
+    reference pipelines, so train-mode BN never occurs)."""
 
     out_channels: int
 
@@ -50,9 +56,11 @@ class ConvBlock(fnn.Module):
         for i in (1, 2):
             x = fnn.Conv(self.out_channels, (3, 3), padding="SAME",
                          use_bias=False, name=f"conv{i}")(x)
-            x = fnn.GroupNorm(num_groups=None, group_size=1,
-                              name=f"bn{i}")(x)  # per-channel affine norm
-            x = fnn.relu(x)
+            scale = self.param(f"bn{i}_scale", fnn.initializers.ones,
+                               (self.out_channels,))
+            bias = self.param(f"bn{i}_bias", fnn.initializers.zeros,
+                              (self.out_channels,))
+            x = fnn.relu(x * scale + bias)
         if pool != (1, 1):
             x = fnn.avg_pool(x, pool, strides=pool)
         return x
@@ -86,17 +94,18 @@ class Cnn14(fnn.Module):
     fmax: float = 14000.0
     classes_num: int = 527
     out_emb: int = 2048
+    channels: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
 
     @fnn.compact
     def __call__(self, wav: Array) -> Dict[str, Array]:
         mel = _clap_logmel(wav, self.sample_rate, self.window_size,
                            self.hop_size, self.mel_bins, self.fmin, self.fmax)
         x = mel[:, :, :, None]  # NHWC: [B, T, M, 1]
-        # bn0 over the mel axis
+        # bn0 over the mel axis (eval-mode BN folded to affine, as above)
         scale = self.param("bn0_scale", fnn.initializers.ones, (self.mel_bins,))
         bias = self.param("bn0_bias", fnn.initializers.zeros, (self.mel_bins,))
         x = x * scale[None, None, :, None] + bias[None, None, :, None]
-        chans = (64, 128, 256, 512, 1024, 2048)
+        chans = self.channels
         for i, ch in enumerate(chans):
             pool = (1, 1) if i == len(chans) - 1 else (2, 2)
             x = ConvBlock(ch, name=f"conv_block{i + 1}")(x, pool)
@@ -151,6 +160,27 @@ class CLAP:
                 jax.random.PRNGKey(0), jnp.zeros(wav_shape))
         return self.audio_params
 
+    def load_converted(self, tree: Dict[str, Any]) -> None:
+        """Ingest a converted reference checkpoint (``convert_state_dict``
+        family='clap' over the ``.pth``'s ['model'] state dict,
+        ``CLAPWrapper.py:60-62``): audio tower params, caption-side
+        projection, logit_scale; the BERT tower weights ride separately via
+        ``export_clap_bert`` -> ``from_pretrained``."""
+        params = tree.get("params", tree)
+        if "audio_encoder" in params:
+            self.audio_params = {"params": params["audio_encoder"]}
+        cap = params.get("caption_encoder", {})
+        if "projection" in cap:
+            p = cap["projection"]
+            self.text_proj = {
+                "linear1": jnp.asarray(p["linear1"]["kernel"]),
+                "linear2": jnp.asarray(p["linear2"]["kernel"]),
+                "ln_scale": jnp.asarray(p["layer_norm"]["scale"]),
+                "ln_bias": jnp.asarray(p["layer_norm"]["bias"]),
+            }
+        if "logit_scale" in params:
+            self.logit_scale = float(np.asarray(params["logit_scale"]))
+
     def get_audio_embeddings(self, wavs: Array) -> Array:
         wavs = jnp.asarray(wavs)
         emb, _ = self._audio_apply(self.ensure_audio_params(wavs.shape), wavs)
@@ -179,7 +209,7 @@ class CLAPWrapper:
             try:
                 from versband_tpu.utils.checkpoint import load_npz_params
 
-                self.clap.audio_params = load_npz_params(model_fp)
+                self.clap.load_converted(load_npz_params(model_fp))
             except Exception as e:
                 print(f"CLAPWrapper: could not load {model_fp}: {e}")
 

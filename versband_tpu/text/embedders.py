@@ -87,7 +87,11 @@ class _FrozenT5Tower:
             try:
                 self.model = FlaxT5EncoderModel.from_pretrained(version)
             except Exception:
-                self.model = None
+                try:  # torch-only local dir (pytorch_model.bin)
+                    self.model = FlaxT5EncoderModel.from_pretrained(
+                        version, from_pt=True)
+                except Exception:
+                    self.model = None
         else:
             self.model = None
         if self.model is None:
@@ -185,9 +189,16 @@ class _FrozenBertTower:
 
             try:
                 self.tokenizer = AutoTokenizer.from_pretrained(text_model)
-                self.model = FlaxBertModel.from_pretrained(text_model)
             except Exception:
                 pass
+            try:
+                self.model = FlaxBertModel.from_pretrained(text_model)
+            except Exception:
+                try:  # torch-only local dir (e.g. export_clap_bert output)
+                    self.model = FlaxBertModel.from_pretrained(
+                        text_model, from_pt=True)
+                except Exception:
+                    pass
         if self.model is None:
             cfg = BertConfig(**{**self.FALLBACK, **(fallback_config or {})})
             self.model = FlaxBertModel(cfg)
@@ -257,16 +268,17 @@ class ClapTextEmbedder:
         from versband_tpu.utils.checkpoint import load_npz_params
 
         tree = load_npz_params(path) if path.endswith(".npz") else None
-        if tree and "caption_encoder" in tree:
-            ce = tree["caption_encoder"]
-            if "projection" in ce:
-                p = ce["projection"]
-                self.proj = {
-                    "linear1": jnp.asarray(p["linear1"]["weight"]).T,
-                    "linear2": jnp.asarray(p["linear2"]["weight"]).T,
-                    "ln_scale": jnp.asarray(p["layer_norm"]["weight"]),
-                    "ln_bias": jnp.asarray(p["layer_norm"]["bias"]),
-                }
+        if tree is None:
+            return
+        tree = tree.get("params", tree)
+        if "caption_encoder" in tree and "projection" in tree["caption_encoder"]:
+            p = tree["caption_encoder"]["projection"]
+            self.proj = {
+                "linear1": jnp.asarray(p["linear1"]["kernel"]),
+                "linear2": jnp.asarray(p["linear2"]["kernel"]),
+                "ln_scale": jnp.asarray(p["layer_norm"]["scale"]),
+                "ln_bias": jnp.asarray(p["layer_norm"]["bias"]),
+            }
 
     def encode(self, text) -> Array:
         z = self.tower(text)

@@ -261,9 +261,34 @@ PWG_RULES: List[Rule] = [
     (r"c_proj\.(.+)$", r"c_proj/\1", None),
 ]
 
+CLAP_RULES: List[Rule] = [
+    # torchlibrosa STFT/mel buffers are recomputed, BERT tower rides via
+    # export_clap_bert -> transformers from_pretrained(from_pt=True)
+    (r"(spectrogram_extractor|logmel_extractor)\..*$", None, None),
+    (r"caption_encoder\.base\..*$", None, None),
+    # Cnn14 BN layers arrive pre-folded (fold_torch_batchnorm) as affine
+    # weight/bias pairs -> the flax modules' bn*_scale/bn*_bias params
+    (r"audio_encoder\.base\.bn0\.weight$", "audio_encoder/base/bn0_scale",
+     None),
+    (r"audio_encoder\.base\.bn0\.bias$", "audio_encoder/base/bn0_bias", None),
+    (r"audio_encoder\.base\.(conv_block\d)\.(bn\d)\.weight$",
+     r"audio_encoder/base/\1/\2_scale", None),
+    (r"audio_encoder\.base\.(conv_block\d)\.(bn\d)\.bias$",
+     r"audio_encoder/base/\1/\2_bias", None),
+    (r"audio_encoder\.base\.(.+)$", r"audio_encoder/base/\1", None),
+    (r"(audio|caption)_encoder\.projection\.layer_norm\.weight$",
+     r"\1_encoder/projection/layer_norm/scale", None),
+    (r"(audio|caption)_encoder\.projection\.layer_norm\.bias$",
+     r"\1_encoder/projection/layer_norm/bias", None),
+    (r"(audio|caption)_encoder\.projection\.(.+)$",
+     r"\1_encoder/projection/\2", None),
+    (r"logit_scale$", "logit_scale", None),
+]
+
 FAMILY_RULES = {"vae": VAE_RULES, "hifigan": HIFIGAN_RULES,
                 "bigvgan": HIFIGAN_RULES, "dit": DIT_RULES,
-                "concat_dit": CONCAT_DIT_RULES, "pwg": PWG_RULES}
+                "concat_dit": CONCAT_DIT_RULES, "pwg": PWG_RULES,
+                "clap": CLAP_RULES}
 
 
 def fold_torch_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -288,11 +313,42 @@ def fold_torch_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def fold_torch_batchnorm(sd: Dict[str, np.ndarray],
+                         eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """Fold eval-mode BatchNorm (gamma, beta, running_mean, running_var) into
+    a plain affine (weight, bias); drops running stats + num_batches_tracked.
+
+    Eval ``nn.BatchNorm``: ``y = (x - rm) / sqrt(rv + eps) * gamma + beta``
+    = ``x * s + b`` with ``s = gamma / sqrt(rv + eps)``, ``b = beta - rm * s``.
+    BN layers are identified by the presence of a ``running_mean`` sibling, so
+    LayerNorms (which also have weight/bias) are untouched."""
+    bn = {k[: -len("running_mean")] for k in sd if k.endswith("running_mean")}
+    out = {}
+    for key, w in sd.items():
+        pre = next((p for p in bn if key.startswith(p)
+                    and key[len(p):] in ("weight", "bias", "running_mean",
+                                         "running_var",
+                                         "num_batches_tracked")), None)
+        if pre is None:
+            out[key] = w
+            continue
+        suffix = key[len(pre):]
+        if suffix not in ("weight", "bias"):
+            continue
+        s = sd[pre + "weight"] / np.sqrt(sd[pre + "running_var"] + eps)
+        out[key] = (s if suffix == "weight"
+                    else sd[pre + "bias"] - sd[pre + "running_mean"] * s
+                    ).astype(w.dtype)
+    return out
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray], family: str,
                        num_resblock_kernels: int = 3) -> Dict[str, Any]:
     """Convert a torch state dict to a flax {'params': ...} tree (weight norm
     folded)."""
     sd = fold_torch_weight_norm(sd)
+    if family == "clap":  # Cnn14's BatchNorms are eval-only -> fold to affine
+        sd = fold_torch_batchnorm(sd)
     rules = FAMILY_RULES[family]
     flat: Dict[str, np.ndarray] = {}
     experts: Dict[str, Dict[int, np.ndarray]] = {}
@@ -391,11 +447,53 @@ def convert_melgan_state_dict(sd: Dict[str, np.ndarray], num_scales: int = 3,
     return {"params": unflatten_params(flat)}
 
 
+def export_clap_bert(sd: Dict[str, np.ndarray], out_dir: str) -> str:
+    """Extract the CLAP checkpoint's BERT caption tower
+    (``caption_encoder.base.*``, loaded via ``AutoModel`` in
+    ``CLAP/clap.py:46``) into an HF model directory that
+    ``FlaxBertModel.from_pretrained(out_dir, from_pt=True)`` — i.e. this
+    framework's ``_FrozenBertTower`` — can ingest offline. The BertConfig is
+    inferred from tensor shapes."""
+    import json
+    import os
+
+    import torch
+
+    prefix = "caption_encoder.base."
+    tower = {k[len(prefix):]: torch.from_numpy(np.asarray(v))
+             for k, v in sd.items() if k.startswith(prefix)}
+    if not tower:
+        raise ValueError("no caption_encoder.base.* keys in state dict")
+    emb = tower["embeddings.word_embeddings.weight"]
+    hidden = emb.shape[1]
+    layers = 1 + max(int(m.group(1)) for k in tower
+                     if (m := re.match(r"encoder\.layer\.(\d+)\.", k)))
+    inter = tower[
+        "encoder.layer.0.intermediate.dense.weight"].shape[0]
+    heads = 12 if hidden % 12 == 0 else max(1, hidden // 64)
+    cfg = dict(architectures=["BertModel"], model_type="bert",
+               hidden_size=int(hidden), vocab_size=int(emb.shape[0]),
+               num_hidden_layers=int(layers), num_attention_heads=int(heads),
+               intermediate_size=int(inter),
+               max_position_embeddings=int(
+                   tower["embeddings.position_embeddings.weight"].shape[0]),
+               type_vocab_size=int(
+                   tower["embeddings.token_type_embeddings.weight"].shape[0]))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    torch.save(tower, os.path.join(out_dir, "pytorch_model.bin"))
+    return out_dir
+
+
 def convert_checkpoint(torch_path: str, out_path: str, family: str,
-                       **kw) -> None:
+                       bert_out: Optional[str] = None, **kw) -> None:
     sd = load_torch_state_dict(torch_path)
     tree = convert_state_dict(sd, family, **kw)
     save_npz_params(out_path, tree)
+    if bert_out:
+        export_clap_bert(sd, bert_out)
+        print(f"exported BERT caption tower -> {bert_out}")
     print(f"converted {len(sd)} tensors -> {out_path}")
 
 
@@ -407,9 +505,14 @@ def main(argv=None) -> int:
     p.add_argument("out_npz")
     p.add_argument("--family", required=True, choices=sorted(FAMILY_RULES))
     p.add_argument("--num_resblock_kernels", type=int, default=3)
+    p.add_argument("--bert_out", default=None,
+                   help="also export the CLAP BERT caption tower (family "
+                        "'clap' only) as an HF model dir")
     a = p.parse_args(argv)
-    convert_checkpoint(a.torch_ckpt, a.out_npz, a.family,
-                       num_resblock_kernels=a.num_resblock_kernels)
+    kw = dict(num_resblock_kernels=a.num_resblock_kernels)
+    if a.family == "clap":
+        kw = dict(bert_out=a.bert_out)
+    convert_checkpoint(a.torch_ckpt, a.out_npz, a.family, **kw)
     return 0
 
 
