@@ -108,28 +108,94 @@ def build_pipeline():
         z = sample_stage(dit_params, key)
         return finish_stage(vae_params, voc_params, z)
 
-    return generate, vocoder_apply is not None
+    # --- on-device scan harness (docs/BENCH_NOTES.md "Honest timing"):
+    # host-side block_until_ready loops can UNDER-report through the axon
+    # tunnel relay, so the N-iteration loop runs on device inside one jitted
+    # scan, reduced to a scalar; host reads back one float and the trivial-
+    # scan RPC floor is subtracted.
+    @jax.jit
+    def sample_scan(dit_p, keys):
+        def body(acc, key):
+            z = sample_stage(dit_p, key)  # jit-of-jit inlines
+            return acc + jnp.sum(z.astype(jnp.float32)), z
+        acc, zs = jax.lax.scan(body, 0.0, keys)
+        return acc, zs
+
+    @jax.jit
+    def finish_scan(vae_p, voc_p, zs):
+        def body(acc, z):
+            out = finish_stage(vae_p, voc_p, z)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, 0.0, zs)
+        return acc
+
+    def timed_scan(n_iter):
+        keys = jax.random.split(jax.random.PRNGKey(7), n_iter)
+        # RPC floor: a trivial scan of the same call structure
+        @jax.jit
+        def floor_run(ms):
+            s, _ = jax.lax.scan(
+                lambda c, m: (c + jnp.sum(m.astype(jnp.float32)), None),
+                0.0, ms)
+            return s
+        dummy = jnp.zeros((n_iter, 8, 8))
+        float(floor_run(dummy))
+        t0 = time.perf_counter()
+        float(floor_run(dummy))
+        floor_ms = (time.perf_counter() - t0) * 1e3
+
+        acc, zs = sample_scan(dit_params, keys)  # compile + warm
+        float(acc)
+        t0 = time.perf_counter()
+        acc, zs = sample_scan(dit_params, keys)
+        float(acc)
+        sample_ms = max((time.perf_counter() - t0) * 1e3 - floor_ms, 0.0) \
+            / n_iter
+
+        float(finish_scan(vae_params, voc_params, zs))  # compile + warm
+        t0 = time.perf_counter()
+        acc = finish_scan(vae_params, voc_params, zs)
+        float(acc)
+        finish_ms = max((time.perf_counter() - t0) * 1e3 - floor_ms, 0.0) \
+            / n_iter
+        return sample_ms, finish_ms, floor_ms
+
+    return generate, timed_scan, vocoder_apply is not None
 
 
 def main():
-    gen, has_vocoder = build_pipeline()
+    gen, timed_scan, has_vocoder = build_pipeline()
+    audio_s = T_MEL * HOP / SR
+
+    # 1) honest protocol: on-device scan + scalar readback - RPC floor
+    n_iter = 8
+    sample_ms, finish_ms, floor_ms = timed_scan(n_iter)
+    total_ms = sample_ms + finish_ms
+    rtf_scan = audio_s / (total_ms / 1e3)
+
+    # 2) legacy host-side loop (known to under-report through the tunnel;
+    # kept for cross-checking the two protocols round over round)
     key = jax.random.PRNGKey(42)
     for i in range(3):  # compile + fully warm the dispatch path
         out = gen(jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(out)
-
-    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = gen(jax.random.fold_in(key, i))
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / n_iter
+    rtf_host = audio_s / wall
 
-    audio_s = T_MEL * HOP / SR
-    rtf = audio_s / wall
+    print(f"# stage breakdown (scan harness, per 20 s clip): "
+          f"sampler {sample_ms:.1f} ms, decode+vocode {finish_ms:.1f} ms, "
+          f"rpc floor {floor_ms:.1f} ms", file=sys.stderr)
+    print(f"# rtf: scan-harness {rtf_scan:.1f}x, host-loop {rtf_host:.1f}x",
+          file=sys.stderr)
+
     metric = ("rtf_20s_accomp_e2e" if has_vocoder else "rtf_20s_accomp_no_vocoder")
-    print(json.dumps({"metric": metric, "value": round(rtf, 3),
-                      "unit": "x_realtime", "vs_baseline": round(rtf / 10.0, 3)}))
+    print(json.dumps({"metric": metric, "value": round(rtf_scan, 3),
+                      "unit": "x_realtime",
+                      "vs_baseline": round(rtf_scan / 10.0, 3)}))
 
 
 if __name__ == "__main__":

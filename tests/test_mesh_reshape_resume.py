@@ -1,0 +1,97 @@
+"""Checkpoint resume across a DIFFERENT mesh shape: (2,4) -> (4,2).
+
+VERDICT r2 item 3c: save a sharded CFM train state from a (data=2, model=4)
+mesh through the orbax CheckpointManager, restore it, re-place it on a
+(data=4, model=2) mesh, and continue training — the continued step must
+produce the same loss as an uninterrupted run on the original mesh (the
+program is deterministic given (state.step, key, batch); only reduction
+orders may differ across layouts).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from versband_tpu.models.cfm import CFM
+from versband_tpu.parallel import make_mesh
+from versband_tpu.train.checkpoints import CheckpointManager
+from versband_tpu.train.state import TrainState, make_adamw
+from versband_tpu.train.step import make_cfm_train_step, shard_train_step
+
+
+def _tiny_stack():
+    C_lat, T_lat, ORI = 4, 16, 24
+    unet = dict(target="versband_tpu.models.dit.BandMoeDiT",
+                params=dict(in_channels=C_lat, context_dim=32, hidden_size=64,
+                            depth=1, num_heads=4, max_len=64, num_experts=4,
+                            ori_dim=ORI, multiple_of=8))
+    cfm = CFM(unet_config=unet, mel_dim=C_lat, mel_length=T_lat,
+              scale_by_std=False, scale_factor=1.0)
+    B = 8  # divides both data=2 and data=4
+    batch = {
+        "latent": np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), (B, C_lat, T_lat))),
+        "caption": np.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), (B, 6, ORI))),
+        "midi": np.asarray(jax.random.randint(
+            jax.random.PRNGKey(4), (B, 1, 2 * T_lat), 0, 130)),
+        "beats": np.asarray(jax.random.randint(
+            jax.random.PRNGKey(5), (B, 1, 2 * T_lat), 0, 3)),
+    }
+    from versband_tpu.models.cfm import _cond_to_context
+    ctx = _cond_to_context({"caption": jnp.asarray(batch["caption"]),
+                            "acoustic": {"midi": jnp.asarray(batch["midi"]),
+                                         "beats": jnp.asarray(batch["beats"])}})
+    params = cfm.model.init(
+        {"params": jax.random.PRNGKey(6), "gumbel": jax.random.PRNGKey(7)},
+        jnp.zeros((B, C_lat, T_lat)), jnp.zeros((B,), jnp.int32), ctx,
+        train=True)
+    tx = make_adamw(1e-3, grad_clip=1.0)
+    state = TrainState.create(params, tx, ema_decay=0.999)
+    step_fn = make_cfm_train_step(cfm)
+    return cfm, state, step_fn, batch
+
+
+def _run_steps(step_fn, state, batch, mesh, keys):
+    with mesh:
+        jitted, place_state, place_batch = shard_train_step(
+            step_fn, state, batch, mesh)
+        state = place_state(state)
+        b = place_batch(batch)
+        losses = []
+        for k in keys:
+            state, metrics = jitted(state, b, k, None)
+            losses.append(float(metrics["loss"]))
+    return jax.device_get(state), losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_resume_across_mesh_reshape(tmp_path):
+    cfm, state0, step_fn, batch = _tiny_stack()
+    keys = [jax.random.PRNGKey(100 + i) for i in range(3)]
+
+    # uninterrupted run on mesh A for the reference losses
+    mesh_a = make_mesh(2, 4)
+    _, losses_ref = _run_steps(step_fn, state0, batch, mesh_a, keys)
+
+    # run 2 steps on mesh A, checkpoint, restore, continue 1 step on mesh B
+    state2, losses_a = _run_steps(step_fn, state0, batch, mesh_a, keys[:2])
+    np.testing.assert_allclose(losses_a, losses_ref[:2], rtol=1e-5)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save_last(state2, int(state2.step))
+    restored = mgr.restore_last(jax.device_get(state2))
+    assert restored is not None
+    # orbax restores raw arrays; rebuild the dataclass around them
+    restored_state = state2.replace(
+        step=restored.step, params=restored.params,
+        opt_state=restored.opt_state,
+        ema=None if state2.ema is None else restored.ema)
+    assert int(restored_state.step) == 2
+
+    mesh_b = make_mesh(4, 2)  # DIFFERENT shape: (data=4, model=2)
+    _, losses_b = _run_steps(step_fn, restored_state, batch, mesh_b,
+                             keys[2:])
+    # step 3 on the reshaped mesh == step 3 of the uninterrupted run
+    np.testing.assert_allclose(losses_b[0], losses_ref[2], rtol=1e-4)
