@@ -60,3 +60,25 @@ def test_fused_fallback_on_odd_length():
     x = jnp.zeros((1, 7, 8))  # T=7: no valid block -> fallback None
     out = fused_alias_free_snake(x, jnp.zeros((8,)))
     assert out is None
+
+
+@pytest.mark.parametrize("T,C,logscale", [(64, 16, True), (231, 8, True),
+                                          (480, 32, False), (96, 256, True)])
+def test_polyphase_matches_unfused(T, C, logscale):
+    """The MXU polyphase formulation (4 stride-1 FIRs, no 2T intermediate)
+    must match UpSample1d -> snake -> DownSample1d exactly, including at
+    non-divisible T (no block constraint)."""
+    from versband_tpu.vocoder.bigvgan import alias_free_snake_polyphase
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, T, C).astype(np.float32))
+    alpha = jnp.asarray(rng.randn(C).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.randn(C).astype(np.float32) * 0.3)
+    out = alias_free_snake_polyphase(x, alpha, beta, logscale)
+    assert out is not None and out.shape == x.shape
+
+    m = Activation1d(channels=C, use_fused=False, logscale=logscale)
+    params = {"params": {"alpha": alpha, "beta": beta}}
+    ref = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

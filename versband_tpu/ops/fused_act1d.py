@@ -4,28 +4,36 @@ TPU kernel.
 The reference activation (``vocoder/bigvgan/alias_free_torch/act.py``) is
 2x kaiser-sinc upsample -> snake -> 2x kaiser-sinc downsample. Run as three
 XLA ops it materializes two [B, 2T, C] intermediates and two slow depthwise
-convs per call — measured ~1.9 ms per activation at the 20 s stage-4 shape,
-~72 activations per BigVGAN forward.
+convs per call; run as dense diag-expanded matmul-convs it burns ~85x the
+real FLOPs (a depthwise FIR densified over C multiplies work by C).
 
-Closed form (r=2, even k): with ``f`` the sum-normalized kaiser-sinc taps,
-``g = 2 f``, and ``x`` replicate-extended,
+Closed form (r=2 resample ratio, even k): with ``f`` the sum-normalized
+kaiser-sinc taps and ``g = 2 f``,
 
-  y_even[m] = sum_a g[k-1-2a] * x[m + a - (k//4 + 0)]        (a = 0..k/2-1)
-  y_odd[m]  = sum_a g[k-2-2a] * x[m + a - (k//4 - 1)]
-  out[t]    = sum_b f[2b]   * S(y_odd[t + b - k//4])
-            + sum_b f[2b+1] * S(y_even[t + b - k//4 + 1])
+  ye[m] = sum_a g[k-1-2a] * x[m + a - q]          (a = 0..k/2-1, q = k//4)
+  yo[m] = sum_a g[k-2-2a] * x[m + a - q + 1]
+  out[t] = sum_b f[2b] * S(yo)[t + b - q] + f[2b+1] * S(ye)[t + b - q + 1]
 
-(S = snake). Everything is static shifted multiply-adds over a [T, C] tile —
-one HBM read + one write per activation, all arithmetic fused in VMEM.
-Derivation/verification: tests/test_fused_act1d.py checks the kernel against
-the unfused UpSample1d -> snake -> DownSample1d module to 1e-5 (fp32).
+(S = snake) — 24 static shifted multiply-adds per sample, pure VPU work.
 
-Interior blocks are exact. The down-stage's replicate padding of the
-*upsampled* signal affects only the first/last ``k//4`` output frames; the
-wrapper recomputes those few frames exactly in XLA (tiny tensors).
+Packed-lane layout (v3): small-channel vocoder tails (C=32/64) waste 3/4 of
+every (8,128) vector register and pad conv operands to 128 lanes. The kernel
+therefore consumes x reshaped ``[T, C] -> [T/r, r*C]`` with ``r*C = 128`` — a
+FREE row-major reshape — and implements a shift by ``d`` samples as a
+lane-group rotation by ``d mod r`` plus a one-row-masked row shift, keeping
+every vector op at full 128-lane width. Per-call overheads that dominated
+earlier designs (measured at T=481k, C=32: 6.3 ms/act for halo-window
+materialization in XLA, ~8 us/grid-step at 512-row blocks) are gone: halos
+ride in from NEIGHBOR blocks (three in_specs over the same array with
+w-1/w/w+1 clamped index maps) and blocks are sized to ~512 KB.
 
-Small-channel stages pack ``p`` consecutive time windows into the lane axis
-(``p*C <= 128``) so the VPU runs full width at C=32/64.
+Interior outputs are exact. Boundary frames (the reference replicate-pads
+both the input and the upsampled signal; the kernel row-replicates at the
+first/last window) are recomputed exactly by ``_edge_fix`` over the first
+and last ``2q`` frames — tiny XLA tensors.
+
+Verification: tests/test_fused_act1d.py checks the kernel against the
+unfused UpSample1d -> snake -> DownSample1d module to 1e-5 (fp32).
 """
 
 from __future__ import annotations
@@ -41,61 +49,128 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_LANES = 128
-
 
 def _snake(y, a, inv_b):
     s = jnp.sin(y * a)
     return y + inv_b * s * s
 
 
-def _act_kernel(x_ref, al_ref, ib_ref, o_ref, *, taps, Tb: int, halo: int):
-    """x_ref: [1, 1, Tb + 2*halo, Cp]; al/ib: [1, Cp]; o: [1, 1, Tb, Cp].
+def _shift_terms(rots, d: int, r: int, C: int, lo: int, n: int, group_ids):
+    """Rows ``lo .. lo+n`` of the packed array shifted by ``d`` SAMPLES.
 
-    ``taps``: static tuple of k python floats (kaiser-sinc).
-    """
+    ``rots[dm]``: the source array lane-rotated by ``dm`` groups
+    (``rot[row, g*C+c] = src[row, ((g+dm)%r)*C+c]``). A sample shift d
+    decomposes as ``g + d = r*(u0 + carry(g)) + ((g + d) mod r)`` with
+    ``u0 = floor(d/r)``; lane groups ``g >= r - (d mod r)`` carry into the
+    next row."""
+    dm = d % r
+    u0 = (d - dm) // r
+    R = rots[dm]
+    lo_rows = R[lo + u0: lo + u0 + n, :]
+    if dm == 0:
+        return lo_rows
+    hi_rows = R[lo + u0 + 1: lo + u0 + 1 + n, :]
+    return jnp.where(group_ids >= (r - dm) * C, hi_rows, lo_rows)
+
+
+def _lane_rots(X, r: int, C: int, dms):
+    """Lane-group rotations of X for each needed residue (0 = identity)."""
+    rots = {0: X}
+    for dm in dms:
+        if dm not in rots:
+            rots[dm] = jnp.concatenate([X[:, dm * C:], X[:, :dm * C]], axis=1)
+    return rots
+
+
+def _bcast_sample(rowvec, g: int, r: int, C: int):
+    """[1, L] -> [1, L] with lane group ``g``'s C channels tiled to every
+    group: the packed-layout form of replicating one SAMPLE."""
+    if r == 1:
+        return rowvec
+    piece = rowvec[:, g * C:(g + 1) * C]
+    return jnp.concatenate([piece] * r, axis=1)
+
+
+def _act_kernel(prev_ref, cur_ref, nxt_ref, al_ref, ib_ref, o_ref, *,
+                taps, Tb: int, nb: int, r: int, C: int, m: int):
+    """prev/cur/nxt: [1, Tb, L] packed blocks (w-1 / w / w+1, index-clamped);
+    al/ib: [1, L] (channel params tiled over lane groups); o: [1, Tb, L].
+
+    Edge handling is EXACT in-kernel (no XLA fix-up pass): the first/last
+    windows replicate-pad x per SAMPLE (matching ``UpSample1d``'s input
+    padding) and clamp the snaked upsampled signal's out-of-range samples to
+    its boundary values (matching ``DownSample1d``'s replicate padding of
+    the 2T signal)."""
     k = len(taps)
-    q = k // 4  # = 3 for k=12
-    xb = x_ref[0, 0].astype(jnp.float32)           # [Tb+2h, Cp]
-    a = al_ref[0].astype(jnp.float32)              # [Cp]
+    q = k // 4
+    n_half = k // 2
+    hr = 2 * m                         # halo rows per side
+    L = r * C
+    w = pl.program_id(1)
+    cur = cur_ref[0].astype(jnp.float32)               # [Tb, L]
+    left = jnp.where(w == 0,
+                     jnp.broadcast_to(
+                         _bcast_sample(cur[0:1, :], 0, r, C), (hr, L)),
+                     prev_ref[0, Tb - hr:Tb, :].astype(jnp.float32))
+    right = jnp.where(w == nb - 1,
+                      jnp.broadcast_to(
+                          _bcast_sample(cur[Tb - 1:Tb, :], r - 1, r, C),
+                          (hr, L)),
+                      nxt_ref[0, :hr, :].astype(jnp.float32))
+    X = jnp.concatenate([left, cur, right], axis=0)    # [Tb + 4m, L]
+    a = al_ref[0].astype(jnp.float32)
     inv_b = ib_ref[0].astype(jnp.float32)
 
-    n_half = k // 2
-    # y arrays over m' = 0 .. Tb + 2q - 1 (m = t0 + m' - q), offset into xb:
-    # x[m + a_i - q] = xb[m' + a_i + (halo - 2q)] for y_even
-    # x[m + a_i - q + 1] = xb[m' + a_i + (halo - 2q) + 1] for y_odd
-    M = Tb + 2 * q
-    base_e = halo - 2 * q
-    base_o = base_e + 1
-    ye = None
-    yo = None
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+    # up-FIR sample shifts: ye at d = a - q, yo at d = a - q + 1
+    d_up = [ai - q for ai in range(n_half)] + \
+           [ai - q + 1 for ai in range(n_half)]
+    rots = _lane_rots(X, r, C, {d % r for d in d_up})
+    Ey = Tb + 2 * m                    # y rows: ext rows m .. Tb + 3m
+    ye = yo = None
     for ai in range(n_half):
         ge = 2.0 * taps[k - 1 - 2 * ai]
         go = 2.0 * taps[k - 2 - 2 * ai]
-        sl_e = xb[base_e + ai: base_e + ai + M, :]
-        sl_o = xb[base_o + ai: base_o + ai + M, :]
-        ye = sl_e * ge if ye is None else ye + sl_e * ge
-        yo = sl_o * go if yo is None else yo + sl_o * go
+        te = _shift_terms(rots, ai - q, r, C, m, Ey, group_ids)
+        to = _shift_terms(rots, ai - q + 1, r, C, m, Ey, group_ids)
+        ye = te * ge if ye is None else ye + te * ge
+        yo = to * go if yo is None else yo + to * go
 
     se = _snake(ye, a, inv_b)
     so = _snake(yo, a, inv_b)
 
+    # DownSample1d replicate-pads the snaked 2T signal: S[<0] := S[0]
+    # (= se sample 0) and S[>=2T] := S[2T-1] (= so sample T-1). In packed
+    # rows: se/so rows < m hold samples < 0; rows >= m + Tb hold samples
+    # >= the block end (only the LAST block's tail is a true signal end).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tb + 2 * m, 1), 0)
+    s0 = _bcast_sample(se[m:m + 1, :], 0, r, C)        # S[0]
+    sl = _bcast_sample(so[m + Tb - 1:m + Tb, :], r - 1, r, C)  # S[2T-1]
+    lo_pad = jnp.logical_and(w == 0, row_ids < m)
+    hi_pad = jnp.logical_and(w == nb - 1, row_ids >= m + Tb)
+    se = jnp.where(lo_pad, s0, jnp.where(hi_pad, sl, se))
+    so = jnp.where(lo_pad, s0, jnp.where(hi_pad, sl, so))
+
+    # down-FIR: out[t] = sum_b f[2b]*so[t+b-q] + f[2b+1]*se[t+b-q+1],
+    # consumed at Y-index t + m (+ row-decomposed sample shift)
+    d_dn = [bi - q for bi in range(n_half)] + \
+           [bi - q + 1 for bi in range(n_half)]
+    rot_so = _lane_rots(so, r, C, {d % r for d in d_dn})
+    rot_se = _lane_rots(se, r, C, {d % r for d in d_dn})
     out = None
-    for b in range(n_half):
-        fe = taps[2 * b]
-        fo = taps[2 * b + 1]
-        t_o = so[b: b + Tb, :]
-        t_e = se[b + 1: b + 1 + Tb, :]
-        term = t_o * fe + t_e * fo
+    for bi in range(n_half):
+        t_o = _shift_terms(rot_so, bi - q, r, C, m, Tb, group_ids)
+        t_e = _shift_terms(rot_se, bi - q + 1, r, C, m, Tb, group_ids)
+        term = t_o * taps[2 * bi] + t_e * taps[2 * bi + 1]
         out = term if out is None else out + term
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _edge_fix(x: Array, alpha, inv_beta, taps: np.ndarray, out: Array,
               edge: int) -> Array:
-    """Recompute the first/last ``edge`` frames exactly (the down stage
-    replicate-pads the UPSAMPLED signal; the kernel's x-clamping differs
-    there). Pure jnp on tiny slices."""
+    """Recompute the first/last ``edge`` frames exactly (replicate-pad
+    semantics of both resample stages). Pure jnp on tiny slices."""
     B, T, C = x.shape
     k = len(taps)
     q = k // 4
@@ -126,12 +201,20 @@ def _edge_fix(x: Array, alpha, inv_beta, taps: np.ndarray, out: Array,
             cache[n] = s_at(n)
         return cache[n]
 
-    for t in list(range(edge)) + list(range(T - edge, T)):
+    fixes = []
+    rows = list(range(edge)) + list(range(T - edge, T))
+    for t in rows:
         acc = 0.0
         for j in range(k):
             acc = acc + s_cached(2 * t + j - (n_half - 1)) * f[j]
-        out = out.at[:, t, :].set(acc.astype(out.dtype))
-    return out
+        fixes.append(acc.astype(out.dtype))
+    head = jnp.stack(fixes[:edge], axis=1)              # [B, edge, C]
+    tail = jnp.stack(fixes[edge:], axis=1)
+    # two in-place dynamic-update-slices; a concat of
+    # [head, out[:, edge:-edge], tail] forces a sublane-misaligned copy of
+    # the WHOLE array per activation (measured +1.3 ms/act in the composed
+    # generator)
+    return out.at[:, :edge, :].set(head).at[:, T - edge:, :].set(tail)
 
 
 def fused_alias_free_snake(
@@ -156,23 +239,42 @@ def fused_alias_free_snake(
     if k % 4 != 0:
         return None
     q = k // 4
-    halo = 2 * q + 2  # covers both y arrays' reach (max index base_o + a + M)
+    n_half = k // 2
+    max_shift = max(q, n_half - q)
+
+    # lane packing: r*C = 128 when possible (free row-major reshape);
+    # keep at least 8 packed rows (sublane tile) for the block search
+    r = 1
+    while 2 * r * C <= 128 and T % (2 * r) == 0 and T // (2 * r) >= 8:
+        r *= 2
+    rows = T // r
+    L = r * C
+    m = -(-max_shift // r)             # per-FIR-stage reach in packed rows
 
     if block_t is None:
-        for cand in (512, 480, 320, 256, 160, 128, 96, 64, 40, 32, 16, 8):
-            if T % cand == 0 and cand >= 2 * halo:
+        # largest divisor of `rows` under ~512 KB blocks: grid-step overhead
+        # (~5-8 us each) dominated small blocks, scoped VMEM (16 MB, with
+        # lane padding to 128 for narrow L) rules out huge ones
+        # 512 KB blocks: measured best (1 MB OOMs scoped VMEM inside the
+        # composed generator and regresses pipelining at L=128); 16-row
+        # bf16 alignment was tried and measured no better
+        max_rows = min(rows, max(4 * m, (512 << 10) // (max(L, 128) * 4)))
+        for cand in range(max_rows - max_rows % 8, 0, -8):
+            if rows % cand == 0 and cand >= 4 * m:
                 block_t = cand
                 break
         else:
-            return None
-    if T % block_t or block_t % 8:
+            # no multiple-of-8 divisor; any divisor works (Mosaic pads the
+            # sublane tile), prefer the largest
+            for cand in range(max_rows, 4 * m - 1, -1):
+                if rows % cand == 0:
+                    block_t = cand
+                    break
+            else:
+                return None
+    if rows % block_t or block_t < 4 * m:
         return None
-    nb = T // block_t
-
-    # lane packing: put p consecutive windows side by side when C is small
-    p = 1
-    while (2 * p * C <= _LANES) and (nb % (2 * p) == 0):
-        p *= 2
+    nb = rows // block_t
 
     taps = tuple(float(v) for v in kaiser_sinc_filter1d(0.25, 0.3, k))
 
@@ -181,54 +283,43 @@ def fused_alias_free_snake(
     if logscale:
         af, bf = jnp.exp(af), jnp.exp(bf)
     inv_bf = 1.0 / (bf + 1e-9)
-
-    # windows with halo: xpad[i] = x[clamp(i - halo)]. Built with O(1) graph
-    # size (two reshapes + one concat) — a per-window python stack put ~3000
-    # slice ops in the graph at the 20 s stage-4 shape (372 s compiles).
-    xpad = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)), mode="edge")
-    h2 = 2 * halo
-    core = xpad[:, :nb * block_t].reshape(B, nb, block_t, C)
-    tail_src = xpad[:, block_t:]                  # rows (w+1)*Tb + [0, 2h)
-    pad_rows = nb * block_t - tail_src.shape[1]
-    tail_src = jnp.pad(tail_src, ((0, 0), (0, pad_rows), (0, 0)))
-    tail = tail_src.reshape(B, nb, block_t, C)[:, :, :h2]
-    xwin = jnp.concatenate([core, tail], axis=2)  # [B, nb, Tb+2h, C]
-    if p > 1:
-        xwin = xwin.reshape(B, nb // p, p, block_t + 2 * halo, C)
-        xwin = jnp.moveaxis(xwin, 2, 3)           # [B, nb/p, Tb+2h, p, C]
-        xwin = xwin.reshape(B, nb // p, block_t + 2 * halo, p * C)
-    Cp = p * C
-    al = jnp.tile(af, (p,))[None, :]              # [1, p*C]
-    ib = jnp.tile(inv_bf, (p,))[None, :]
+    al = jnp.tile(af, (r,))[None, :]               # [1, L]
+    ib = jnp.tile(inv_bf, (r,))[None, :]
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kern = functools.partial(_act_kernel, taps=taps, Tb=block_t, halo=halo)
+    P = x.reshape(B, rows, L)                      # free, row-major
+    xblock = pl.BlockSpec((1, block_t, L), lambda b, w: (b, w, 0),
+                          memory_space=pltpu.VMEM)
+    xprev = pl.BlockSpec((1, block_t, L),
+                         lambda b, w: (b, jnp.maximum(w - 1, 0), 0),
+                         memory_space=pltpu.VMEM)
+    xnext = pl.BlockSpec((1, block_t, L),
+                         lambda b, w: (b, jnp.minimum(w + 1, nb - 1), 0),
+                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_act_kernel, taps=taps, Tb=block_t, nb=nb,
+                             r=r, C=C, m=m)
     out = pl.pallas_call(
         kern,
-        grid=(B, nb // p),
+        grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, block_t + 2 * halo, Cp),
-                         lambda b, w: (b, w, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cp), lambda b, w: (0, 0),
+            xprev, xblock, xnext,
+            pl.BlockSpec((1, L), lambda b, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cp), lambda b, w: (0, 0),
+            pl.BlockSpec((1, L), lambda b, w: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_t, Cp), lambda b, w: (b, w, 0, 0),
+        out_specs=pl.BlockSpec((1, block_t, L), lambda b, w: (b, w, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb // p, block_t, Cp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rows, L), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 24 * B * T * C,
-            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            bytes_accessed=4 * x.size * x.dtype.itemsize,
             transcendentals=2 * B * T * C,
         ),
-    )(xwin, al, ib)
+    )(P, P, P, al, ib)
 
-    if p > 1:
-        out = out.reshape(B, nb // p, block_t, p, C)
-        out = jnp.moveaxis(out, 3, 2)             # [B, nb/p, p, Tb, C]
-    out = out.reshape(B, T, C)
-    return _edge_fix(x, af, inv_bf, np.asarray(taps), out, edge=q)
+    return out.reshape(B, T, C)  # edges are exact in-kernel

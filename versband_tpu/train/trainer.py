@@ -180,7 +180,9 @@ class VAETrainer(BaseTrainer):
                     self.gen_state, self.disc_state, metrics = self.train_step(
                         self.gen_state, self.disc_state,
                         {"image": jnp.asarray(batch["image"])}, k)
-                    self.global_step = int(self.gen_state.step)
+                    # host-side counter — int(gen_state.step) would block the
+                    # async dispatch every step (device sync + RPC per step)
+                    self.global_step += 1
                     self.log_metrics(metrics, self.global_step, "train/")
                     self._dispatch("on_train_batch_end", batch, metrics,
                                    self.global_step)
@@ -287,12 +289,15 @@ class CFMTrainer(BaseTrainer):
         self._val_step = None
         self.state: Optional[TrainState] = None
 
-    def _encode_captions(self, batch) -> np.ndarray:
+    def _encode_captions(self, batch):
         captions = batch["caption"]["caption"]
         if self.cond_stage is None:  # pre-encoded or test mode
             return np.asarray(captions)
-        return np.asarray(self.cond_stage({"caption": captions,
-                                           "acoustic": {}})["caption"])
+        # stays a device array: np.asarray here would force a blocking
+        # device->host->device round-trip per batch (an extra RPC through
+        # the axon tunnel on top of the transfer)
+        return self.cond_stage({"caption": captions,
+                                "acoustic": {}})["caption"]
 
     def _device_batch(self, batch) -> Dict[str, Any]:
         return {
@@ -369,7 +374,10 @@ class CFMTrainer(BaseTrainer):
                     self.key, k = jax.random.split(self.key)
                     self.state, metrics = self.train_step(
                         self.state, db, k, self.vae_params)
-                    self.global_step = int(self.state.step)
+                    # host-side step counter: int(state.step) would BLOCK on
+                    # the async dispatch every step (one device sync + RPC
+                    # round-trip per step through the axon tunnel)
+                    self.global_step += 1
                     self.log_metrics(metrics, self.global_step, "train/")
                     self._dispatch("on_train_batch_end", batch, metrics,
                                    self.global_step)

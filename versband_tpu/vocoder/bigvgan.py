@@ -139,13 +139,92 @@ def snake(x: Array, alpha: Array, beta: Optional[Array] = None,
     return y.astype(x.dtype)
 
 
+def alias_free_snake_polyphase(x: Array, alpha: Array,
+                               beta: Optional[Array], logscale: bool,
+                               kernel_size: int = 12) -> Optional[Array]:
+    """2x-up -> snake -> 2x-down as four stride-1 polyphase FIRs on the MXU.
+
+    Never materializes the [B, 2T, C] upsampled signal: the two output
+    phases of the up-FIR (``ye``, ``yo``) are 6-tap stride-1 convs of x, and
+    the decimating down-FIR reads them phase-wise, so the whole chain is
+    4 depthwise convs at length T + the pointwise snake (closed form in
+    ``ops/fused_act1d.py``'s docstring). Each depthwise FIR runs as a dense
+    diag-expanded space-to-depth conv (``vocoder/conv.py``) — channel-packed
+    [T/r, rC] matmuls on the MXU. vs the Pallas fused kernel this pays ~2
+    intermediates of traffic but has NO per-grid-step overhead, no VMEM
+    padding waste at C<128, and no T-divisibility constraints — measured
+    much faster at every vocoder-tail shape (docs/BENCH_NOTES.md).
+
+    Boundary frames (zero-pad vs the reference's replicate-pad, reach 2q)
+    are recomputed exactly by ``_edge_fix``.
+    """
+    from versband_tpu.ops.fused_act1d import _edge_fix
+    from versband_tpu.vocoder.conv import space_to_depth_conv1d
+
+    B, T, C = x.shape
+    k = kernel_size
+    if k % 4 != 0:
+        return None
+    q = k // 4
+    n_half = k // 2
+    nt = n_half + 1  # both phases in one stencil: offsets -q .. n_half - q
+    taps = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, k)  # host numpy
+    g = 2.0 * taps
+    # ONE up conv [T,C]->[T,2C] carrying both polyphase outputs
+    # (cols [:C] = ye at taps g[k-1-2a] offset a-q; cols [C:] = yo at taps
+    # g[k-2-2a] offset a-q+1) and ONE down conv [T,2C]->[T,C] summing
+    # f[2b]*so + f[2b+1]*se — the whole activation is conv -> snake -> conv.
+    w_up = np.zeros((nt, C, 2 * C), np.float32)
+    w_dn = np.zeros((nt, 2 * C, C), np.float32)
+    cc = np.arange(C)
+    for t_ in range(n_half):
+        w_up[t_, cc, cc] = g[k - 1 - 2 * t_]          # ye <- x
+        w_up[t_ + 1, cc, C + cc] = g[k - 2 - 2 * t_]  # yo <- x
+        w_dn[t_, C + cc, cc] = taps[2 * t_]           # out <- so
+        w_dn[t_ + 1, cc, cc] = taps[2 * t_ + 1]       # out <- se
+    w_up, w_dn = jnp.asarray(w_up), jnp.asarray(w_dn)
+
+    # pack channels to the full 128-lane width: XLA pads conv channel dims
+    # to 128, so half-width operands burn FLOPs for nothing (measured
+    # 2.56 -> 1.28 ms per FIR at T=481k C=32 doubling the packing)
+    def pick_r(ch):
+        r = 1
+        while 2 * r * ch <= 128 and T % (2 * r) == 0:
+            r *= 2
+        return r
+
+    def fir(v, w, pad):
+        # stencil offsets tap - pad (asymmetric ok in both branches)
+        r = pick_r(v.shape[-1])
+        if r > 1:
+            return space_to_depth_conv1d(v, w, 1, pad, r, v.dtype)
+        return jax.lax.conv_general_dilated(
+            v, w.astype(v.dtype), window_strides=(1,),
+            padding=[(pad, w.shape[0] - 1 - pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32).astype(v.dtype)
+
+    y = fir(x, w_up, q)                      # [B, T, 2C] = [ye | yo]
+    a2 = jnp.concatenate([alpha, alpha])
+    b2 = None if beta is None else jnp.concatenate([beta, beta])
+    s = snake(y, a2, b2, logscale)           # [se | so]
+    out = fir(s, w_dn, q)
+
+    af = alpha.astype(jnp.float32)
+    bf = af if beta is None else beta.astype(jnp.float32)
+    if logscale:
+        af, bf = jnp.exp(af), jnp.exp(bf)
+    return _edge_fix(x, af, 1.0 / (bf + 1e-9), np.asarray(taps), out,
+                     edge=2 * q)
+
+
 class Activation1d(fnn.Module):
     """2x upsample -> snake(-beta) -> 2x downsample (``alias_free_torch/act.py``).
 
-    ``use_fused`` (default): the whole chain runs as one Pallas kernel
-    (``ops/fused_act1d.py``) — one HBM read + write instead of two
-    [B, 2T, C] intermediates and two depthwise convs; falls back to the
-    unfused modules when the shape doesn't fit the kernel.
+    ``use_fused`` (default): the packed-lane Pallas kernel
+    (``ops/fused_act1d.py``) — one HBM read+write, exact fp32 edges
+    in-kernel; the polyphase MXU formulation above as the second choice
+    (first at unpackable bf16 widths); unfused modules when neither fits.
     """
 
     channels: int
@@ -163,9 +242,20 @@ class Activation1d(fnn.Module):
         if self.use_fused and not self.is_initializing():
             from versband_tpu.ops.fused_act1d import fused_alias_free_snake
 
-            out = fused_alias_free_snake(x, alpha, beta, self.logscale)
-            if out is not None:
-                return out
+            # packed-lane Pallas kernel first (fastest everywhere packing
+            # applies: 6.9 vs 20.9/79.1 ms at the C=32 tail, exact fp32);
+            # MXU polyphase convs as the shape-robust second choice AND
+            # the first choice at unpackable bf16 widths (C>128 => r=1,
+            # where the kernel measured 0.89-1.2 vs 0.38 ms at C=256);
+            # unfused modules as the last resort
+            bf16_wide = x.dtype == jnp.bfloat16 and x.shape[-1] > 128
+            order = ([alias_free_snake_polyphase, fused_alias_free_snake]
+                     if bf16_wide else
+                     [fused_alias_free_snake, alias_free_snake_polyphase])
+            for impl in order:
+                out = impl(x, alpha, beta, self.logscale)
+                if out is not None:
+                    return out
         x = UpSample1d(2, name="upsample")(x)
         x = snake(x, alpha, beta, self.logscale)
         return DownSample1d(2, name="downsample")(x)
