@@ -1,0 +1,100 @@
+"""Per-component profile of the ParallelWaveGAN vocode path on TPU.
+
+PWG is the slowest vocoder tail (4.8 songs/s ~= 96x RT vs 326x HiFi-GAN).
+This times its pieces separately at the serving shape (20 s song, bf16) to
+locate the bottleneck: the ConvInUpsampleNetwork (1-channel 2-D smoothing
+convs), the 30-layer gated WaveNet (dilated k=3 convs + 1x1 stacks), and a
+single residual layer. On-device lax.scan harness (the honest protocol
+through the axon tunnel, docs/BENCH_NOTES.md): the scan runs over N stacked
+DISTINCT inputs so XLA cannot hoist the body out of the loop.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+HOP = 320
+T_MEL = 1504
+DTYPE = jnp.bfloat16
+
+
+def scan_time(fn, params, stacked, fixed=(), iters=4):
+    """ms/call for fn(params, x_i, *fixed) over the stacked leading axis."""
+
+    @jax.jit
+    def many(params, stacked, fixed):
+        def body(c, x):
+            out = fn(params, x, *fixed)
+            s = jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l[..., :1].astype(jnp.float32)),
+                out, jnp.float32(0.0))
+            return c + s, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+        return c
+
+    @jax.jit
+    def floor(stacked):
+        def body(c, x):
+            return c + x.reshape(-1)[0].astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+        return c
+
+    float(many(params, stacked, fixed))
+    float(floor(stacked))
+    t0 = time.perf_counter()
+    float(many(params, stacked, fixed))
+    t_many = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(floor(stacked))
+    t_floor = time.perf_counter() - t0
+    return (t_many - t_floor) / iters * 1e3
+
+
+def main():
+    from versband_tpu.vocoder.pwg import (ConvInUpsampleNetwork,
+                                          ParallelWaveGANGenerator,
+                                          ResidualBlock)
+
+    key = jax.random.PRNGKey(0)
+    N = 4
+    mel = jax.random.normal(key, (1, 80, T_MEL), DTYPE)
+    mels = jax.random.normal(key, (N, 1, 80, T_MEL), DTYPE)
+    T = (T_MEL - 4) * HOP
+    noise = jax.random.normal(key, (1, 1, T), DTYPE)
+    noises = jax.random.normal(key, (N, 1, 1, T), DTYPE)
+
+    voc = ParallelWaveGANGenerator(dtype=DTYPE)
+    p = jax.jit(voc.init)(jax.random.PRNGKey(1), noise, mel)
+    ms = scan_time(voc.apply, p, noises, fixed=(mel,), iters=N)
+    print(f"full generator:   {ms:8.2f} ms", flush=True)
+
+    ups = ConvInUpsampleNetwork((4, 4, 4, 5), dtype=DTYPE)
+    mel_t = jnp.swapaxes(mel, 1, 2)
+    mels_t = jnp.swapaxes(mels, 2, 3)
+    pu = jax.jit(ups.init)(jax.random.PRNGKey(2), mel_t)
+    print(f"upsample net:     {scan_time(ups.apply, pu, mels_t, iters=N):8.2f} ms",
+          flush=True)
+
+    # WaveNet stack alone: run the generator with pre-upsampled conditioning
+    voc_nu = ParallelWaveGANGenerator(use_upsample=False, dtype=DTYPE)
+    c_full = jnp.zeros((1, 80, T), DTYPE)
+    pn = jax.jit(voc_nu.init)(jax.random.PRNGKey(3), noise, c_full)
+    ms = scan_time(voc_nu.apply, pn, noises, fixed=(c_full,), iters=N)
+    print(f"wavenet stack:    {ms:8.2f} ms", flush=True)
+
+    blk = ResidualBlock(dilation=64, dtype=DTYPE)
+    hs = jax.random.normal(key, (N, 1, T, 64), DTYPE)
+    c = jax.random.normal(key, (1, T, 80), DTYPE)
+    pb = jax.jit(blk.init)(jax.random.PRNGKey(4), hs[0], c)
+    ms = scan_time(blk.apply, pb, hs, fixed=(c,), iters=N)
+    print(f"1 res layer(d64): {ms:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

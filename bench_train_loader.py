@@ -25,9 +25,12 @@ import numpy as np
 
 DATA = "/tmp/bench_train_data"
 N_UNIQUE = 12      # distinct mel npys; rows reference them round-robin
-N_ROWS = 360       # > valid_head=300 so the train split is non-empty
-N_STEPS = 40
-WARM_STEPS = 8     # skip compile + warmup when timing
+N_ROWS = 684       # valid_head=300 val rows + 48 train batches of 8: the
+                   # timed 40 steps stay inside epoch 0 (no val epoch)
+N_STEPS = int(os.environ.get("BENCH_N_STEPS", 40))
+WARM_STEPS = int(os.environ.get("BENCH_WARM_STEPS", 8))  # skip compile/warmup
+SYNC_EVERY = int(os.environ.get("BENCH_SYNC_EVERY", 0))  # diag: block per step
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", 1))
 
 
 def gen_data():
@@ -63,9 +66,28 @@ def gen_data():
     np.save(f"{DATA}/beats.npy", beats_d, allow_pickle=True)
 
 
+class NoCkpt:
+    """Checkpoint-manager stub: every save/restore is a no-op."""
+
+    def save_last(self, *a, **k): pass
+    def save_monitored(self, *a, **k): pass
+    def save_step_archive(self, *a, **k): pass
+    def restore_last(self, *a, **k): return None
+    def last_step(self): return 0
+
+
+T0 = time.perf_counter()
+
+
+def mark(msg):
+    print(f"# [{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     if not os.path.exists(f"{DATA}/manifests/music.tsv"):
         gen_data()
+    mark("data ready")
 
     import jax
 
@@ -86,39 +108,55 @@ def main():
     ])
     datamodule = instantiate_from_config(cfg["data"])
     datamodule.setup()
+    mark("datamodule up")
 
     cfm = instantiate_from_config(cfg["model"])
+    mark("model instantiated")
     import jax.numpy as jnp
     mel0 = jnp.zeros((1, 80, 256))
     vae_params = jax.jit(cfm.first_stage.init)(
         {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
         mel0)
+    mark("vae init")
 
     class Timer(Callback):
         def __init__(self):
             self.t_warm = None
+            self.warm_step = 0
             self.done = 0
 
         def on_train_batch_end(self, trainer, batch, metrics, step):
             self.done = step
-            if step == WARM_STEPS:
-                jax.block_until_ready(trainer.state.params)
+            if SYNC_EVERY and step % SYNC_EVERY == 0:
+                mark(f"step {step} dispatched; syncing loss...")
+                mark(f"step {step} loss={float(metrics['loss']):.4f}")
+            if step <= 2 or step == WARM_STEPS:
+                mark(f"step {step} done")
+            if step >= WARM_STEPS and self.t_warm is None:
+                # sync on ONE scalar: block_until_ready on the params TREE
+                # polls ~400 buffers through the tunnel (~40-70 s of pure
+                # RPC) and poisons the measurement
+                float(np.asarray(metrics["loss"]))
                 self.t_warm = time.perf_counter()
+                self.warm_step = step
 
     timer = Timer()
     trainer = CFMTrainer(
         cfm, vae_params, cfm.cond_stage, learning_rate=1e-4,
+        steps_per_call=STEPS_PER_CALL,
         use_ema=False, scheduler=None, mesh=None,
         logdir="/tmp/bench_train_logs", max_steps=N_STEPS, max_epochs=99,
-        callbacks=[timer], ckpt=CheckpointManager("/tmp/bench_train_logs/ck"),
+        val_every_n_epochs=10 ** 6,  # throughput bench: keep validation out
+        callbacks=[timer], ckpt=NoCkpt(),  # end-of-fit orbax save would
+        # gather ~0.5 GB of state through the tunnel — not part of steps/s
         seed=0, log_every_n_steps=10 ** 6, use_tensorboard=False)
 
     t0 = time.perf_counter()
     trainer.fit(datamodule)
-    jax.block_until_ready(trainer.state.params)
+    jax.block_until_ready(trainer.state.step)  # one scalar, not the tree
     t1 = time.perf_counter()
     assert timer.t_warm is not None and timer.done >= N_STEPS
-    steps = timer.done - WARM_STEPS
+    steps = timer.done - timer.warm_step
     sps = steps / (t1 - timer.t_warm)
     print(f"# total wall (incl. compile) {t1 - t0:.1f}s; timed {steps} steps",
           file=sys.stderr)

@@ -53,6 +53,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=10 ** 9)
     p.add_argument("--max_epochs", type=int, default=1000)
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse K train steps into one lax.scan program "
+                        "(single-chip stage 2): pays per-program dispatch "
+                        "latency once per K steps")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu); overrides the "
                         "environment plugin selection")
@@ -182,6 +186,7 @@ def main(argv: List[str] = None) -> int:
             cfm, vae_params, cfm.cond_stage, learning_rate=lr,
             use_ema=bool(model_cfg["params"].get("use_ema", False)),
             scheduler=scheduler, mesh=mesh,
+            steps_per_call=opt.steps_per_call,
             accumulate_grad_batches=opt.accumulate_grad_batches, **common)
 
     if opt.train:

@@ -79,6 +79,31 @@ def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None,
     return step_fn
 
 
+def make_cfm_multi_step(cfm: CFM, accumulate_grad_batches: int = 1,
+                        ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
+    """K chained train steps fused into ONE program via ``lax.scan``.
+
+    ``batches``: the single-step batch pytree with a leading [K, ...] axis
+    (host-stacked). Per-program dispatch overhead (RPC latency on a tunneled
+    device, driver launch latency anywhere) is paid once per K steps instead
+    of per step — the TPU-native analogue of Lightning's tight step loop.
+    Metrics come back stacked [K]. RNG stays per-micro-step unique because
+    ``step_fn`` folds the key with ``state.step``, which advances inside the
+    scan.
+    """
+    step_fn = make_cfm_train_step(
+        cfm, accumulate_grad_batches=accumulate_grad_batches)
+
+    def multi_fn(state: TrainState, batches: Dict[str, Any], key: jax.Array,
+                 vae_params: Optional[Any] = None):
+        def body(st, b):
+            return step_fn(st, b, key, vae_params)
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_fn
+
+
 def optax_global_norm(tree) -> jax.Array:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

@@ -122,6 +122,11 @@ class VAETrainer(BaseTrainer):
         self.tx = make_adam(learning_rate, betas=(0.5, 0.9),
                             accumulate_grad_batches=self.accumulate_grad_batches)
         raw_step = make_vae_train_step(vae, loss)
+        # donate the states so queued async steps reuse buffers instead of
+        # holding a full extra state generation each (deep dispatch queues
+        # otherwise exhaust HBM and throttle). Virtual CPU devices don't
+        # support donation -> gate on real TPU, mirroring train/step.py.
+        donate = (0, 1) if jax.default_backend() == "tpu" else ()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -130,10 +135,10 @@ class VAETrainer(BaseTrainer):
             self._rep = rep
             self.train_step = jax.jit(
                 raw_step, in_shardings=(rep, rep, {"image": data}, rep),
-                out_shardings=(rep, rep, rep))
+                out_shardings=(rep, rep, rep), donate_argnums=donate)
         else:
             self._rep = None
-            self.train_step = jax.jit(raw_step)
+            self.train_step = jax.jit(raw_step, donate_argnums=donate)
         self.eval_step = jax.jit(make_vae_eval_step(vae, loss))
         self.gen_state: Optional[TrainState] = None
         self.disc_state: Optional[TrainState] = None
@@ -192,7 +197,9 @@ class VAETrainer(BaseTrainer):
                     if self.global_step >= self.max_steps:
                         break
                 self._dispatch("on_epoch_end", epoch)
-                if val_loader and epoch % self.val_every_n_epochs == 0:
+                if val_loader and (epoch + 1) % self.val_every_n_epochs == 0:
+                    # Lightning check_val_every_n_epoch semantics:
+                    # first validation after N epochs, not at epoch 0
                     vals = []
                     for vb in val_loader:
                         vb = pad_batch_time(vb, self.time_bucket)
@@ -266,10 +273,11 @@ class CFMTrainer(BaseTrainer):
     def __init__(self, cfm, vae_params, cond_stage, learning_rate: float,
                  grad_clip: float = 1.0, use_ema: bool = False,
                  scheduler=None, mesh=None, accumulate_grad_batches: int = 1,
-                 **kw):
+                 steps_per_call: int = 1, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adamw
-        from versband_tpu.train.step import make_cfm_train_step
+        from versband_tpu.train.step import (make_cfm_multi_step,
+                                             make_cfm_train_step)
 
         self.cfm = cfm
         self.vae_params = vae_params
@@ -284,7 +292,25 @@ class CFMTrainer(BaseTrainer):
         # vae_params travel as a jit argument (not closure constants)
         self._raw_step = make_cfm_train_step(
             cfm, accumulate_grad_batches=self.accumulate_grad_batches)
-        self.train_step = jax.jit(self._raw_step) if mesh is None else None
+        # donate the state (see VAETrainer): without it, N queued async steps
+        # pin N full param+opt-state generations (~1 GB each at the shipped
+        # geometry) and the dispatch queue throttles on HBM pressure —
+        # measured 1.7 s/step vs 188 ms/step synced (docs/BENCH_NOTES.md).
+        donate = (0,) if jax.default_backend() == "tpu" else ()
+        self.train_step = (jax.jit(self._raw_step, donate_argnums=donate)
+                           if mesh is None else None)
+        # steps_per_call > 1: fuse K steps into one lax.scan program (one
+        # dispatch + one metrics readback per K steps) — pays off wherever
+        # per-program launch latency is comparable to step time. Single-chip
+        # only; the mesh path keeps per-step dispatch. jax.jit is lazy, so
+        # the unused variant costs no compile time.
+        self.steps_per_call = max(1, int(steps_per_call)) if mesh is None else 1
+        self._multi_step = (
+            jax.jit(make_cfm_multi_step(
+                cfm, accumulate_grad_batches=self.accumulate_grad_batches),
+                donate_argnums=donate)
+            if self.steps_per_call > 1 else None)
+        self._group: list = []
         self._place_state = self._place_batch = None
         self._val_step = None
         self.state: Optional[TrainState] = None
@@ -360,34 +386,27 @@ class CFMTrainer(BaseTrainer):
                                 self.state = restored
                                 self.global_step = self.ckpt.last_step()
                                 print(f"Resumed at step {self.global_step}")
-                    db = self._device_batch(batch)
-                    if self.mesh is not None and self.train_step is None:
-                        from versband_tpu.train.step import shard_train_step
-
-                        with self.mesh:
-                            (self.train_step, self._place_state,
-                             self._place_batch) = shard_train_step(
-                                self._raw_step, self.state, db, self.mesh)
-                            self.state = self._place_state(self.state)
-                    if self._place_batch is not None:
-                        db = self._place_batch(db)
-                    self.key, k = jax.random.split(self.key)
-                    self.state, metrics = self.train_step(
-                        self.state, db, k, self.vae_params)
-                    # host-side step counter: int(state.step) would BLOCK on
-                    # the async dispatch every step (one device sync + RPC
-                    # round-trip per step through the axon tunnel)
-                    self.global_step += 1
-                    self.log_metrics(metrics, self.global_step, "train/")
-                    self._dispatch("on_train_batch_end", batch, metrics,
-                                   self.global_step)
+                    if self.steps_per_call > 1:
+                        # flush early if the padded shapes changed (stacking
+                        # needs uniform [B, ., T] across the group)
+                        if (self._group and self._group[0]["image"].shape
+                                != batch["image"].shape):
+                            self._flush_group()
+                        self._group.append(batch)
+                        if len(self._group) >= self.steps_per_call:
+                            self._flush_group()
+                    else:
+                        self._run_single(batch)
                     if self._sig_save:
                         self.save_checkpoint("last")
                         self._sig_save = False
                     if self.global_step >= self.max_steps:
                         break
+                self._flush_group()
                 self._dispatch("on_epoch_end", epoch)
-                if val_loader and epoch % self.val_every_n_epochs == 0:
+                if val_loader and (epoch + 1) % self.val_every_n_epochs == 0:
+                    # Lightning check_val_every_n_epoch semantics:
+                    # first validation after N epochs, not at epoch 0
                     self._validate(val_loader)
                 self.save_checkpoint("last")
                 self.ckpt.save_step_archive(self.state, self.global_step)
@@ -396,6 +415,64 @@ class CFMTrainer(BaseTrainer):
         except KeyboardInterrupt:
             self._dispatch("on_exception")
             raise
+
+    def _run_single(self, batch):
+        db = self._device_batch(batch)
+        if self.mesh is not None and self.train_step is None:
+            from versband_tpu.train.step import shard_train_step
+
+            with self.mesh:
+                (self.train_step, self._place_state,
+                 self._place_batch) = shard_train_step(
+                    self._raw_step, self.state, db, self.mesh)
+                self.state = self._place_state(self.state)
+        if self._place_batch is not None:
+            db = self._place_batch(db)
+        self.key, k = jax.random.split(self.key)
+        self.state, metrics = self.train_step(
+            self.state, db, k, self.vae_params)
+        # host-side step counter: int(state.step) would BLOCK on the async
+        # dispatch every step (one device sync + RPC round-trip per step
+        # through the axon tunnel)
+        self.global_step += 1
+        self.log_metrics(metrics, self.global_step, "train/")
+        self._dispatch("on_train_batch_end", batch, metrics,
+                       self.global_step)
+
+    def _flush_group(self):
+        """Dispatch the buffered K batches as one fused multi-step program."""
+        group, self._group = self._group, []
+        if not group:
+            return
+        if len(group) == 1:
+            self._run_single(group[0])
+            return
+        K = len(group)
+        if self.cond_stage is None:
+            caption = jnp.asarray(np.stack(
+                [np.asarray(b["caption"]["caption"]) for b in group]))
+        else:
+            # ONE text-encoder program for all K batches
+            caps = [c for b in group for c in list(b["caption"]["caption"])]
+            enc = self.cond_stage({"caption": caps, "acoustic": {}})["caption"]
+            enc = jnp.asarray(enc)
+            caption = enc.reshape((K, -1) + enc.shape[1:])
+        db = {
+            "image": jnp.asarray(np.stack([b["image"] for b in group])),
+            "caption": caption,
+            "midi": jnp.asarray(np.stack(
+                [b["caption"]["acoustic"]["midi"] for b in group])),
+            "beats": jnp.asarray(np.stack(
+                [b["caption"]["acoustic"]["beats"] for b in group])),
+        }
+        self.key, k = jax.random.split(self.key)
+        self.state, ms = self._multi_step(self.state, db, k, self.vae_params)
+        self.global_step += K
+        last = {kk: vv[-1] for kk, vv in ms.items()}
+        self.log_metrics(last, self.global_step, "train/")
+        # callbacks fire once per fused program with the last batch/metrics
+        self._dispatch("on_train_batch_end", group[-1], last,
+                       self.global_step)
 
     def log_images(self, batch) -> Dict[str, np.ndarray]:
         """inputs / samples for the Image/AudioLogger callbacks
