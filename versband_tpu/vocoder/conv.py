@@ -139,11 +139,22 @@ class WNConv1d(fnn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, fold_only: bool = False):
+        """Apply the conv, or with ``fold_only`` return the folded
+        ``(kernel [k, C_in, C_out], bias [C_out])`` without applying — for
+        externally fused kernels (ops/fused_wavenet.py). Both modes declare
+        the identical param set, so checkpoints are unaffected."""
         cin = x.shape[-1]
         kernel = _wn_kernel(self, "kernel",
                             (self.kernel_size, cin // self.groups, self.features),
                             self.use_weight_norm, self.init_std)
+        if fold_only:
+            if self.use_bias:
+                bias = self.param("bias", fnn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+            else:
+                bias = jnp.zeros((self.features,), jnp.float32)
+            return kernel, bias
         pad = self.padding if self.padding is not None else \
             get_padding(self.kernel_size, self.dilation)
         sym_same = pad == get_padding(self.kernel_size, self.dilation)

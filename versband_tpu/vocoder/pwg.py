@@ -44,27 +44,58 @@ class ResidualBlock(fnn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
-    def __call__(self, x: Array, c: Optional[Array]):
+    def __call__(self, x: Array, c: Optional[Array],
+                 skip: Optional[Array] = None, t_real: Optional[int] = None):
+        """Returns ``(x', s)``. When ``skip`` (an fp32 [B, T, S] accumulator)
+        is given, the whole layer runs as one fused Pallas pass
+        (ops/fused_wavenet.py) and ``s`` is ``skip + new_skip``; otherwise the
+        reference dense path runs and ``s`` is this layer's skip alone."""
+        conv = WNConv1d(self.gate_channels, self.kernel_size,
+                        dilation=self.dilation, use_bias=self.use_bias,
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="conv")
+        aux = WNConv1d(self.gate_channels, 1, use_bias=False,
+                       use_weight_norm=self.use_weight_norm,
+                       dtype=self.dtype, name="conv1x1_aux")
+        skipc = WNConv1d(self.skip_channels, 1, use_bias=self.use_bias,
+                         use_weight_norm=self.use_weight_norm,
+                         dtype=self.dtype, name="conv1x1_skip")
+        outc = WNConv1d(self.residual_channels, 1, use_bias=self.use_bias,
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="conv1x1_out")
+
+        if skip is not None and c is not None and self.kernel_size == 3:
+            from versband_tpu.ops.fused_wavenet import fused_wavenet_layer
+
+            zch = self.gate_channels // 2
+            zdummy = jnp.zeros((1, 1, zch), x.dtype)
+            wg, bg = conv(x, fold_only=True)
+            wc, _ = aux(c, fold_only=True)
+            ws, bs = skipc(zdummy, fold_only=True)
+            wo, bo = outc(zdummy, fold_only=True)
+            fused = fused_wavenet_layer(
+                x, c, skip,
+                wg.astype(self.dtype), bg, wc[0].astype(self.dtype),
+                ws[0].astype(self.dtype), bs, wo[0].astype(self.dtype), bo,
+                self.dilation,
+                x.shape[1] if t_real is None else t_real)
+            if fused is not None:
+                return fused
+            # shapes outside the kernel's envelope: dense path below reuses
+            # the exact same child modules/params and accumulates manually
+
         residual = x
-        h = WNConv1d(self.gate_channels, self.kernel_size,
-                     dilation=self.dilation, use_bias=self.use_bias,
-                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                     name="conv")(x)
+        h = conv(x)
         xa, xb = jnp.split(h, 2, axis=-1)
         if c is not None:
-            ch = WNConv1d(self.gate_channels, 1, use_bias=False,
-                          use_weight_norm=self.use_weight_norm,
-                          dtype=self.dtype, name="conv1x1_aux")(c)
+            ch = aux(c)
             ca, cb = jnp.split(ch, 2, axis=-1)
             xa, xb = xa + ca, xb + cb
         z = jnp.tanh(xa) * fnn.sigmoid(xb)
-        s = WNConv1d(self.skip_channels, 1, use_bias=self.use_bias,
-                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                     name="conv1x1_skip")(z)
-        out = WNConv1d(self.residual_channels, 1, use_bias=self.use_bias,
-                       use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                       name="conv1x1_out")(z)
-        return (out + residual) * math.sqrt(0.5), s
+        s = skipc(z)
+        out = (outc(z) + residual) * math.sqrt(0.5)
+        return (out, skip + s.astype(skip.dtype)) if skip is not None \
+            else (out, s)
 
 
 class UpsampleNetwork(fnn.Module):
@@ -79,23 +110,63 @@ class UpsampleNetwork(fnn.Module):
     @fnn.compact
     def __call__(self, c: Array) -> Array:
         # channel-free 2-D conv == depthwise-in-C 1-D conv along T with a
-        # learned (freq_k x time_k) stencil shared across mel bins; implement
-        # as a 2-D conv over the [C, T] "image" with 1 in/out channel.
-        h = c[..., None]  # [B, T, C, 1] -> treat (T, C) as spatial
+        # learned (freq_k x time_k) stencil shared across mel bins.
+        h = c
         for i, scale in enumerate(self.upsample_scales):
-            h = jnp.repeat(h, scale, axis=1)  # nearest stretch along time
             fk = self.freq_axis_kernel_size
             # reference Conv2d init: fill 1/prod(kernel) (upsample.py:47-58)
             kernel = self.param(f"conv_{i}", fnn.initializers.constant(
                 1.0 / ((scale * 2 + 1) * fk)), (scale * 2 + 1, fk, 1, 1),
                 jnp.float32)
-            h = jax.lax.conv_general_dilated(
-                h.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(1, 1),
-                padding=[(scale, scale), ((fk - 1) // 2, (fk - 1) // 2)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(self.dtype)
-        return h[..., 0]
+            if fk == 1:
+                # Polyphase fast path (exactly equal to repeat+SAME-conv,
+                # incl. the zero-pad boundary: the stretched-domain pad of
+                # `scale` covers exactly one input frame). The reference's
+                # nearest-stretch + (2s+1)-tap conv collapses per output
+                # phase p to a 3-tap FIR on the UN-stretched signal:
+                #   y[s*t+p] = A_p x[t-1] + B_p x[t] + C_p x[t+1]
+                # with phase-folded weights from the kernel's prefix sums.
+                # This keeps C=80 in the lane dim instead of materializing a
+                # [B, s*T, C] image and convolving a 1-channel NHWC tensor
+                # (VPU-bound; measured 65 -> ~4 ms at T=480k).
+                w = kernel[:, 0, 0, 0]                       # [2s+1] fp32
+                cs = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                      jnp.cumsum(w)])        # [2s+2]
+                p = jnp.arange(scale)
+                # W3[p] = (A_p, B_p, C_p): the 3 folded taps of phase p
+                W3 = jnp.stack([
+                    cs[scale - p],                           # sum w[0 : s-p]
+                    cs[2 * scale - p] - cs[scale - p],
+                    cs[2 * scale + 1] - cs[2 * scale - p]], axis=1)  # [s, 3]
+                # one standard k=3 conv emitting all phases as s*C channels
+                # (depth-to-space): W_d[j, c, p*C + c'] = W3[p, j] * d(c, c').
+                # The row-major [T, s, C] -> [T*s, C] reshape interleaves
+                # phases exactly. Structural zeros cost C x FLOPs but keep
+                # the op a plain MXU conv (the broadcast-FMA formulation of
+                # the same math blew up XLA compile time at T=480k).
+                ch = h.shape[-1]
+                eye = jnp.eye(ch, dtype=jnp.float32)
+                Wd = jnp.einsum("pj,ce->jcpe", W3, eye).reshape(
+                    3, ch, scale * ch)
+                y = jax.lax.conv_general_dilated(
+                    h.astype(self.dtype), Wd.astype(self.dtype),
+                    window_strides=(1,), padding=[(1, 1)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=jnp.float32)
+                bsz, t = h.shape[0], h.shape[1]
+                h = y.reshape(bsz, t * scale, ch).astype(self.dtype)
+            else:
+                g = h[..., None]  # [B, T, C, 1]: treat (T, C) as spatial
+                g = jnp.repeat(g, scale, axis=1)  # nearest stretch along T
+                g = jax.lax.conv_general_dilated(
+                    g.astype(self.dtype), kernel.astype(self.dtype),
+                    window_strides=(1, 1),
+                    padding=[(scale, scale),
+                             ((fk - 1) // 2, (fk - 1) // 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+                h = g[..., 0]
+        return h
 
 
 class ConvInUpsampleNetwork(fnn.Module):
@@ -139,6 +210,7 @@ class ParallelWaveGANGenerator(fnn.Module):
     use_upsample: bool = True
     use_pitch_embed: bool = False
     use_weight_norm: bool = True
+    fused_inference: bool = False  # fused Pallas residual layers (no grads)
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -164,15 +236,38 @@ class ParallelWaveGANGenerator(fnn.Module):
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                      name="first_conv")(x)
         layers_per_stack = self.layers // self.stacks
-        skips = 0.0
+        # fused serving path: zero-pad T to the kernel's block grid, thread an
+        # fp32 skip accumulator through the fused layers, slice back. A 1x1
+        # first_conv and zero padding commute, so padding here is exact.
+        fused = (self.fused_inference and c is not None
+                 and self.kernel_size == 3
+                 and 2 ** (layers_per_stack - 1) <= 512)
+        t_real = h.shape[1]
+        if fused:
+            from versband_tpu.ops.fused_wavenet import D_HALO
+
+            blk = 4096
+            t_pad = max(-(-t_real // blk) * blk, 2 * D_HALO)
+            h = jnp.pad(h, ((0, 0), (0, t_pad - t_real), (0, 0)))
+            c = jnp.pad(c, ((0, 0), (0, t_pad - t_real), (0, 0)))
+            skips = jnp.zeros(h.shape[:2] + (self.skip_channels,),
+                              jnp.float32)
+        else:
+            skips = 0.0
         for layer in range(self.layers):
             dilation = 2 ** (layer % layers_per_stack)
-            h, s = ResidualBlock(
+            blk_mod = ResidualBlock(
                 self.kernel_size, self.residual_channels, self.gate_channels,
                 self.skip_channels, self.aux_channels, dilation,
                 use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                name=f"conv_layers_{layer}")(h, c)
-            skips = skips + s
+                name=f"conv_layers_{layer}")
+            if fused:
+                h, skips = blk_mod(h, c, skip=skips, t_real=t_real)
+            else:
+                h, s = blk_mod(h, c)
+                skips = skips + s
+        if fused:
+            skips = skips[:, :t_real].astype(self.dtype)
         skips = skips * math.sqrt(1.0 / self.layers)
 
         z = fnn.relu(skips)
