@@ -98,7 +98,7 @@ def build():
             return jax.jit(voc.apply), p
         if name == "pwg":
             from versband_tpu.vocoder.pwg import ParallelWaveGANGenerator
-            voc = ParallelWaveGANGenerator(dtype=DTYPE)
+            voc = ParallelWaveGANGenerator(dtype=DTYPE, fused_inference=True)
             # aux_context_window=2 trims 2 mel frames per side
             noise0 = jnp.zeros((1, 1, (T_MEL - 4) * HOP), DTYPE)
             p = jax.jit(voc.init)(jax.random.PRNGKey(5), noise0,

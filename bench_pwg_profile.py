@@ -69,31 +69,43 @@ def main():
     noise = jax.random.normal(key, (1, 1, T), DTYPE)
     noises = jax.random.normal(key, (N, 1, 1, T), DTYPE)
 
-    voc = ParallelWaveGANGenerator(dtype=DTYPE)
-    p = jax.jit(voc.init)(jax.random.PRNGKey(1), noise, mel)
-    ms = scan_time(voc.apply, p, noises, fixed=(mel,), iters=N)
-    print(f"full generator:   {ms:8.2f} ms", flush=True)
-
+    # cheap sections first so partial results survive a timeout
     ups = ConvInUpsampleNetwork((4, 4, 4, 5), dtype=DTYPE)
     mel_t = jnp.swapaxes(mel, 1, 2)
     mels_t = jnp.swapaxes(mels, 2, 3)
     pu = jax.jit(ups.init)(jax.random.PRNGKey(2), mel_t)
-    print(f"upsample net:     {scan_time(ups.apply, pu, mels_t, iters=N):8.2f} ms",
-          flush=True)
-
-    # WaveNet stack alone: run the generator with pre-upsampled conditioning
-    voc_nu = ParallelWaveGANGenerator(use_upsample=False, dtype=DTYPE)
-    c_full = jnp.zeros((1, 80, T), DTYPE)
-    pn = jax.jit(voc_nu.init)(jax.random.PRNGKey(3), noise, c_full)
-    ms = scan_time(voc_nu.apply, pn, noises, fixed=(c_full,), iters=N)
-    print(f"wavenet stack:    {ms:8.2f} ms", flush=True)
+    print(f"upsample net:       "
+          f"{scan_time(ups.apply, pu, mels_t, iters=N):8.2f} ms", flush=True)
 
     blk = ResidualBlock(dilation=64, dtype=DTYPE)
     hs = jax.random.normal(key, (N, 1, T, 64), DTYPE)
     c = jax.random.normal(key, (1, T, 80), DTYPE)
     pb = jax.jit(blk.init)(jax.random.PRNGKey(4), hs[0], c)
     ms = scan_time(blk.apply, pb, hs, fixed=(c,), iters=N)
-    print(f"1 res layer(d64): {ms:8.2f} ms", flush=True)
+    print(f"1 res layer(d64):   {ms:8.2f} ms", flush=True)
+
+    skip0 = jnp.zeros((1, T + (-T) % 4096, 64), jnp.float32)
+    hs_pad = jnp.pad(hs, ((0, 0), (0, 0), (0, (-T) % 4096), (0, 0)))
+    c_pad = jnp.pad(c, ((0, 0), (0, (-T) % 4096), (0, 0)))
+    fn = lambda p, h, cc, ss: blk.apply(p, h, cc, skip=ss, t_real=T)
+    ms = scan_time(fn, pb, hs_pad, fixed=(c_pad, skip0), iters=N)
+    print(f"1 fused layer(d64): {ms:8.2f} ms", flush=True)
+
+    voc_f = ParallelWaveGANGenerator(dtype=DTYPE, fused_inference=True)
+    p = jax.jit(voc_f.init)(jax.random.PRNGKey(1), noise, mel)
+    ms = scan_time(voc_f.apply, p, noises, fixed=(mel,), iters=N)
+    print(f"FUSED generator:    {ms:8.2f} ms", flush=True)
+
+    voc = ParallelWaveGANGenerator(dtype=DTYPE)
+    ms = scan_time(voc.apply, p, noises, fixed=(mel,), iters=N)
+    print(f"full generator:     {ms:8.2f} ms", flush=True)
+
+    # WaveNet stack alone: run the generator with pre-upsampled conditioning
+    voc_nu = ParallelWaveGANGenerator(use_upsample=False, dtype=DTYPE)
+    c_full = jnp.zeros((1, 80, T), DTYPE)
+    pn = jax.jit(voc_nu.init)(jax.random.PRNGKey(3), noise, c_full)
+    ms = scan_time(voc_nu.apply, pn, noises, fixed=(c_full,), iters=N)
+    print(f"wavenet stack:      {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
