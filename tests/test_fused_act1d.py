@@ -56,6 +56,24 @@ def test_activation1d_module_uses_fused_and_matches():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("block_t,C", [(32, 16), (16, 32), (8, 64)])
+def test_fused_multi_block_seams(block_t, C):
+    """Force nb>1 via explicit block_t: FIR taps reaching across block seams
+    must read neighbor halo blocks (serving shapes run 100+ blocks, but the
+    auto block-size search keeps the small default test shapes at nb=1)."""
+    T = 512
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, T, C).astype(np.float32))
+    alpha = jnp.asarray(rng.randn(C).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.randn(C).astype(np.float32) * 0.3)
+
+    ref = _unfused(x, alpha, beta, True)
+    out = fused_alias_free_snake(x, alpha, beta, True, block_t=block_t)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fused_fallback_on_odd_length():
     x = jnp.zeros((1, 7, 8))  # T=7: no valid block -> fallback None
     out = fused_alias_free_snake(x, jnp.zeros((8,)))

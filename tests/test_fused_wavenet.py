@@ -63,6 +63,31 @@ def test_fused_layer_edge_zero_padding():
         assert float(jnp.max(jnp.abs(s_f[:, sl] - s_d[:, sl]))) < 1e-4
 
 
+@pytest.mark.parametrize("dilation", [64, 512])
+def test_fused_layer_multi_block_seams(dilation):
+    """nb>1 grid: dilated taps crossing 4096-row block seams must read the
+    neighbor halo blocks, not clamped garbage (serving runs 100+ blocks)."""
+    B, T, R, A = 1, 8192, 64, 80
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, T, R)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((B, T, A)).astype(np.float32))
+    skip0 = jnp.asarray(rng.standard_normal((B, T, 64)).astype(np.float32))
+
+    blk = ResidualBlock(dilation=dilation)
+    p = _rand_params(jax.random.PRNGKey(6), blk, x, c)
+    out_d, s_d = blk.apply(p, x, c)
+    out_f, s_f = blk.apply(p, x, c, skip=skip0)
+
+    ref_skip = skip0 + s_d
+    scale = float(jnp.max(jnp.abs(out_d))) + 1e-6
+    assert float(jnp.max(jnp.abs(out_f - out_d))) / scale < 1e-5
+    # the seam region specifically (rows 4096±dilation read across blocks)
+    seam = slice(4096 - dilation - 4, 4096 + dilation + 4)
+    sscale = float(jnp.max(jnp.abs(ref_skip))) + 1e-6
+    assert float(jnp.max(jnp.abs(s_f[:, seam] - ref_skip[:, seam]))) \
+        / sscale < 1e-5
+
+
 def test_fused_generator_matches_dense():
     """Whole generator: fused_inference=True == False (same params)."""
     T_MEL, HOP = 16, 320

@@ -125,3 +125,40 @@ def test_trainer_steps_per_call_flush_partial(tmp_path):
     tr.fit(_Data())
     assert tr.global_step == 5
     assert int(tr.state.step) == 5
+
+    # max_steps NOT a multiple of K: the final group must flush short at the
+    # boundary instead of overshooting by K-1 steps
+    tr3 = CFMTrainer(cfm, vae_params, None, learning_rate=1e-3,
+                     steps_per_call=2, logdir=str(tmp_path / "m3"),
+                     max_steps=3, max_epochs=1, time_bucket=16,
+                     use_tensorboard=False, log_every_n_steps=10 ** 6)
+    tr3.fit(_Data())
+    assert tr3.global_step == 3
+    assert int(tr3.state.step) == 3
+
+    # pre-encoded caption lengths varying across batches (mel bucket equal):
+    # the group must flush on the caption-shape change, not np.stack-crash
+    class _VarCapData(_Data):
+        def train_dataloader(self):
+            rng = np.random.default_rng(1)
+            for i in range(4):
+                cap_len = 4 if i < 2 else 7
+                yield {
+                    "image": rng.standard_normal(
+                        (2, 80, 16)).astype(np.float32),
+                    "caption": {
+                        "caption": np.asarray(rng.standard_normal(
+                            (2, cap_len, 12)), np.float32),
+                        "acoustic": {
+                            "midi": np.zeros((2, 1, 16), np.int64),
+                            "beats": np.zeros((2, 1, 16), np.int64)},
+                    },
+                }
+
+    trv = CFMTrainer(cfm, vae_params, None, learning_rate=1e-3,
+                     steps_per_call=4, logdir=str(tmp_path / "vc"),
+                     max_steps=100, max_epochs=1, time_bucket=16,
+                     use_tensorboard=False, log_every_n_steps=10 ** 6)
+    trv.fit(_VarCapData())
+    assert trv.global_step == 4
+    assert int(trv.state.step) == 4

@@ -117,7 +117,7 @@ def test_two_process_dp_matches_single_process():
     results = {}
     logs = []
     for p in procs:
-        stdout, stderr = p.communicate(timeout=280)
+        stdout, stderr = p.communicate(timeout=560)
         logs.append(stderr[-2000:])
         assert p.returncode == 0, f"child failed:\n{stderr[-4000:]}"
         for line in stdout.splitlines():
@@ -237,7 +237,7 @@ def test_two_process_real_cfm_step_matches_single_process():
         for i in range(2)]
     results = {}
     for p in procs:
-        stdout, stderr = p.communicate(timeout=280)
+        stdout, stderr = p.communicate(timeout=560)
         assert p.returncode == 0, f"child failed:\n{stderr[-4000:]}"
         for line in stdout.splitlines():
             if line.startswith("CHILD_RESULT "):

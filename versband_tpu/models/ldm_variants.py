@@ -195,6 +195,9 @@ class LatentDiffusionInpaint(LatentDiffusion):
         super().__init__(*args, **kwargs)
         self.parameterization = parameterization
         self.original_elbo_weight = original_elbo_weight
+        # accepted-but-unused in the reference too ("TODO make
+        # self.test_repeat work", ddpm_audio_inpaint.py:513) — kept as a
+        # faithful config passthrough, not wired to repeat sampling
         self.test_repeat = test_repeat
         self.test_numsteps = test_numsteps or self.num_timesteps
 

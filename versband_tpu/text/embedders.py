@@ -202,6 +202,17 @@ class _FrozenBertTower:
         if self.model is None:
             cfg = BertConfig(**{**self.FALLBACK, **(fallback_config or {})})
             self.model = FlaxBertModel(cfg)
+        elif self.tokenizer is None:
+            # real weights + hashed token ids = silently meaningless
+            # embeddings; make the mismatch loud
+            import warnings
+
+            warnings.warn(
+                f"loaded BERT weights from {text_model} but found no "
+                "tokenizer files there; falling back to HashTokenizer, so "
+                "caption embeddings will NOT match the reference. Export "
+                "tokenizer files into that directory (see "
+                "torch_convert.export_clap_bert).", stacklevel=2)
         if self.tokenizer is None:
             self.tokenizer = HashTokenizer(self.model.config.vocab_size)
         self.params = self.model.params

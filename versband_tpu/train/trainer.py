@@ -387,13 +387,18 @@ class CFMTrainer(BaseTrainer):
                                 self.global_step = self.ckpt.last_step()
                                 print(f"Resumed at step {self.global_step}")
                     if self.steps_per_call > 1:
-                        # flush early if the padded shapes changed (stacking
-                        # needs uniform [B, ., T] across the group)
-                        if (self._group and self._group[0]["image"].shape
-                                != batch["image"].shape):
+                        # flush early if any padded shape changed (stacking
+                        # needs uniform shapes across the group) — captions
+                        # can vary in length independently of the mel bucket
+                        if (self._group and self._group_sig(self._group[0])
+                                != self._group_sig(batch)):
                             self._flush_group()
                         self._group.append(batch)
-                        if len(self._group) >= self.steps_per_call:
+                        # never fuse past max_steps: flush a short group at
+                        # the boundary so global_step lands exactly on it
+                        if (len(self._group) >= self.steps_per_call
+                                or self.global_step + len(self._group)
+                                >= self.max_steps):
                             self._flush_group()
                     else:
                         self._run_single(batch)
@@ -438,6 +443,13 @@ class CFMTrainer(BaseTrainer):
         self.log_metrics(metrics, self.global_step, "train/")
         self._dispatch("on_train_batch_end", batch, metrics,
                        self.global_step)
+
+    def _group_sig(self, batch):
+        """Shape signature a fused group must hold constant for np.stack."""
+        cap = batch["caption"]["caption"]
+        return (np.asarray(batch["image"]).shape,
+                np.asarray(cap).shape if self.cond_stage is None else None,
+                np.asarray(batch["caption"]["acoustic"]["midi"]).shape)
 
     def _flush_group(self):
         """Dispatch the buffered K batches as one fused multi-step program."""

@@ -334,6 +334,12 @@ def fold_torch_batchnorm(sd: Dict[str, np.ndarray],
             continue
         suffix = key[len(pre):]
         if suffix not in ("weight", "bias"):
+            # affine=False BN (no gamma/beta): synthesize the affine pair
+            # from the running stats instead of dropping the normalization
+            if suffix == "running_mean" and pre + "weight" not in sd:
+                s = (1.0 / np.sqrt(sd[pre + "running_var"] + eps))
+                out[pre + "weight"] = s.astype(w.dtype)
+                out[pre + "bias"] = (-w * s).astype(w.dtype)
             continue
         s = sd[pre + "weight"] / np.sqrt(sd[pre + "running_var"] + eps)
         out[key] = (s if suffix == "weight"
@@ -447,7 +453,8 @@ def convert_melgan_state_dict(sd: Dict[str, np.ndarray], num_scales: int = 3,
     return {"params": unflatten_params(flat)}
 
 
-def export_clap_bert(sd: Dict[str, np.ndarray], out_dir: str) -> str:
+def export_clap_bert(sd: Dict[str, np.ndarray], out_dir: str,
+                     tokenizer_src: Optional[str] = None) -> str:
     """Extract the CLAP checkpoint's BERT caption tower
     (``caption_encoder.base.*``, loaded via ``AutoModel`` in
     ``CLAP/clap.py:46``) into an HF model directory that
@@ -470,7 +477,10 @@ def export_clap_bert(sd: Dict[str, np.ndarray], out_dir: str) -> str:
                      if (m := re.match(r"encoder\.layer\.(\d+)\.", k)))
     inter = tower[
         "encoder.layer.0.intermediate.dense.weight"].shape[0]
-    heads = 12 if hidden % 12 == 0 else max(1, hidden // 64)
+    # BERT convention is 64-dim heads (base 768->12, large 1024->16,
+    # small 384->6); only fall back to 12 for non-multiple-of-64 widths
+    heads = hidden // 64 if hidden % 64 == 0 else \
+        (12 if hidden % 12 == 0 else max(1, hidden // 64))
     cfg = dict(architectures=["BertModel"], model_type="bert",
                hidden_size=int(hidden), vocab_size=int(emb.shape[0]),
                num_hidden_layers=int(layers), num_attention_heads=int(heads),
@@ -483,6 +493,24 @@ def export_clap_bert(sd: Dict[str, np.ndarray], out_dir: str) -> str:
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg, f)
     torch.save(tower, os.path.join(out_dir, "pytorch_model.bin"))
+    # The checkpoint carries no tokenizer; without vocab files in out_dir the
+    # consumer (_FrozenBertTower) would silently hash-tokenize against real
+    # weights. Pull the reference tokenizer (CLAP config.yml: text_model
+    # bert-base-uncased) from the local HF cache when available.
+    try:
+        from transformers import AutoTokenizer
+
+        tok_src = tokenizer_src or "bert-base-uncased"
+        tok = AutoTokenizer.from_pretrained(tok_src, local_files_only=True)
+        tok.save_pretrained(out_dir)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"no tokenizer files exported to {out_dir} "
+            "(bert-base-uncased not in the local HF cache and no "
+            "tokenizer_src given); place vocab.txt there or caption "
+            "tokenization will fall back to hashing", stacklevel=2)
     return out_dir
 
 
