@@ -143,3 +143,32 @@ def test_patchgan_discriminator():
     params = d.init(jax.random.PRNGKey(0), x)
     out = d.apply(params, x)
     assert out.ndim == 4 and out.shape[0] == 2 and out.shape[1] == 1
+
+
+def test_pwg_runtime_wrapper_vocode():
+    """ParallelWaveGAN wrapper: edge-padded mel -> T' x hop waveform, same
+    calling convention as the HifiGAN/VocoderBigVGAN wrappers."""
+    from versband_tpu.vocoder.pwg import ParallelWaveGAN
+
+    voc = ParallelWaveGAN(layers=6, stacks=2, residual_channels=8,
+                          gate_channels=16, skip_channels=8,
+                          fused_inference=False)
+    mel = np.random.RandomState(0).randn(80, 8).astype(np.float32)
+    wav = voc.vocode(mel)
+    assert wav.ndim == 1 and wav.shape[0] == 8 * 320
+    assert np.isfinite(wav).all()
+    # [T', 80] orientation auto-detected, __call__ aliases
+    wav2 = voc(mel.T)
+    assert wav2.shape == wav.shape
+
+
+def test_generate_cli_vocoder_factory():
+    from versband_tpu.cli.generate import build_vocoder
+
+    for name in ("hifigan", "bigvgan", "nsf", "pwg"):
+        voc = build_vocoder(name)
+        assert callable(voc)
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_vocoder("nope")

@@ -32,6 +32,10 @@ def get_parser():
     p.add_argument("--vae_ckpt", default=None,
                    help="override first-stage checkpoint")
     p.add_argument("--vocoder_ckpt", default=None)
+    p.add_argument("--vocoder", default="hifigan",
+                   choices=("hifigan", "nsf", "bigvgan", "pwg"),
+                   help="vocoder family (reference serves hifigan, "
+                        "test_final.py:420; the others are extras)")
     p.add_argument("--manifest", default=None,
                    help="manifest dir (defaults to config data path)")
     p.add_argument("--other_condition", default=None, help="midi.npy path")
@@ -131,6 +135,24 @@ def write_wav(path: str, wav: np.ndarray, sr: int = 24000):
     wavfile.write(safe_path(path), sr, (wav * 32767).astype(np.int16))
 
 
+def build_vocoder(name: str, ckpt: str = None):
+    """All four runtime wrappers share the ``wav = wrapper(mel_2d)`` calling
+    convention; the reference CLI hardcodes HiFi-GAN (``test_final.py:420``)."""
+    if name == "hifigan":
+        from versband_tpu.vocoder.hifigan import HifiGAN
+        return HifiGAN(ckpt)
+    if name == "nsf":
+        from versband_tpu.vocoder.nsf import HifiGAN_NSF
+        return HifiGAN_NSF(ckpt)
+    if name == "bigvgan":
+        from versband_tpu.vocoder.bigvgan import VocoderBigVGAN
+        return VocoderBigVGAN(ckpt)
+    if name == "pwg":
+        from versband_tpu.vocoder.pwg import ParallelWaveGAN
+        return ParallelWaveGAN(ckpt)
+    raise ValueError(f"unknown vocoder family: {name}")
+
+
 def main(argv: List[str] = None) -> int:
     opt = get_parser().parse_args(argv)
     import jax
@@ -143,8 +165,6 @@ def main(argv: List[str] = None) -> int:
     from versband_tpu.dsp.loudness import normalize_loudness
     from versband_tpu.models.cfm import CFMSampler
     from versband_tpu.utils.config import instantiate_from_config, load_config
-    from versband_tpu.vocoder.hifigan import HifiGAN
-
     config = load_config(opt.config)
     model_cfg = config["model"]
     cfm = instantiate_from_config(model_cfg)
@@ -192,7 +212,7 @@ def main(argv: List[str] = None) -> int:
         vae_params = load_model_checkpoint(vae_params, str(vae_ckpt))
         print(f"Restored VAE from {vae_ckpt}")
 
-    vocoder = HifiGAN(opt.vocoder_ckpt)
+    vocoder = build_vocoder(opt.vocoder, opt.vocoder_ckpt)
     cond_stage = cfm.cond_stage
 
     @jax.jit
@@ -237,7 +257,7 @@ def main(argv: List[str] = None) -> int:
             out_dir = os.path.join(opt.save_dir,
                                    f"cond_gtcodec_accomp_scale_{scale}")
             for widx, mel in enumerate(mels):
-                wav = vocoder.spec2wav(mel)
+                wav = vocoder(mel)
                 if opt.pad_to:
                     wav = wav[: true_frames * 320]  # trim padding tail
                 wav = normalize_loudness(wav, -23.0)

@@ -286,6 +286,72 @@ class ParallelWaveGANGenerator(fnn.Module):
         return (kernel_size - 1) * sum(2 ** (i % lpc) for i in range(layers)) + 1
 
 
+class ParallelWaveGAN:
+    """Runtime wrapper serving ``vocode(mel)``, mirroring the ``HifiGAN`` /
+    ``VocoderBigVGAN`` wrapper interface so the inference CLI can swap
+    vocoder families. Serving convention follows the upstream
+    parallel_wavegan library: the mel is edge-padded by ``aux_context_window``
+    frames per side (consumed by the VALID conv_in), so the waveform covers
+    all T' frames (T' x hop samples); the WaveNet input is standard-normal
+    noise. Weights: a converted ``.npz`` dir ('pwg' family of
+    ``utils/torch_convert``) or absent (random init, smoke use). Uses the
+    fused Pallas residual layers by default (exact, inference-only).
+    """
+
+    def __init__(self, vocoder_ckpt: Optional[str] = None, device=None,
+                 dtype=jnp.float32, fused_inference: bool = True, seed: int = 0,
+                 **overrides):
+        from versband_tpu.vocoder.conv import fold_weight_norm
+
+        self._fold = fold_weight_norm
+        self.model = ParallelWaveGANGenerator(
+            use_weight_norm=False, dtype=dtype,
+            fused_inference=fused_inference, **overrides)
+        self.hop = int(np.prod(self.model.upsample_scales))
+        self.params = None
+        if vocoder_ckpt:
+            import os
+
+            from versband_tpu.utils.checkpoint import load_npz_params
+
+            for name in ("model_gen.npz", "generator.npz"):
+                path = os.path.join(vocoder_ckpt, name)
+                if os.path.exists(path):
+                    self.params = fold_weight_norm(load_npz_params(path))
+                    break
+        self._key = jax.random.PRNGKey(seed)
+        self._apply = jax.jit(lambda p, x, c: self.model.apply(p, x, c))
+
+    def ensure_params(self, x_shape, c_shape):
+        if self.params is None:
+            self.params = self._fold(self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros(x_shape), jnp.zeros(c_shape)))
+        return self.params
+
+    def spec2wav(self, mel, **kwargs) -> np.ndarray:
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        if mel.shape[1] != self.model.aux_channels:
+            mel = jnp.swapaxes(mel, 1, 2)
+        w = self.model.aux_context_window
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (w, w)), mode="edge")
+        t_wav = (mel.shape[-1] - 2 * w) * self.hop
+        self._key, k = jax.random.split(self._key)
+        noise = jax.random.normal(k, (mel.shape[0], 1, t_wav),
+                                  self.model.dtype)
+        wav = self._apply(self.ensure_params(noise.shape, mel.shape),
+                          noise, mel)
+        return np.asarray(wav, np.float32).reshape(-1)
+
+    def vocode(self, mel) -> np.ndarray:
+        assert np.ndim(mel) == 2
+        return self.spec2wav(mel)
+
+    def __call__(self, mel) -> np.ndarray:
+        return self.spec2wav(mel)
+
+
 class ParallelWaveGANDiscriminator(fnn.Module):
     """Dilated non-causal conv stack discriminator
     (``models/parallel_wavegan.py:207-300``). wav [B, 1, T] -> [B, 1, T]."""
