@@ -121,3 +121,23 @@ def test_jit_and_scale():
     out = f(q, k, v)
     ref = sdpa(q, k, v, scale=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_sdpa_fallback_matches_kernel():
+    """The VMEM-bound SDPA fallback must reproduce flash_attention's exact
+    masking semantics (kv_len truncation, kv_len==0 rows -> 0)."""
+    import math
+
+    from versband_tpu.ops.flash_attention import _sdpa_masked, flash_attention
+
+    B, T, H, D = 3, 64, 2, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    kv_len = jnp.asarray([64, 17, 0], jnp.int32)
+
+    out_kernel = flash_attention(q, k, v, kv_len=kv_len)
+    out_sdpa = _sdpa_masked(q, k, v, kv_len, 1.0 / math.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out_sdpa), np.asarray(out_kernel),
+                               atol=2e-5, rtol=2e-5)

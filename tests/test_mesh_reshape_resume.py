@@ -95,3 +95,18 @@ def test_resume_across_mesh_reshape(tmp_path):
                              keys[2:])
     # step 3 on the reshaped mesh == step 3 of the uninterrupted run
     np.testing.assert_allclose(losses_b[0], losses_ref[2], rtol=1e-4)
+
+
+def test_checkpoint_meta_scale_factor_roundtrip(tmp_path):
+    """save_last's extra metadata (the scale_by_std latent scale — a buffer
+    in the reference's checkpoints) must survive to last_meta()."""
+    import jax.numpy as jnp
+
+    from versband_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state = {"w": jnp.ones((4,))}
+    mgr.save_last(state, 7, extra={"scale_factor": 1.4142})
+    meta = mgr.last_meta()
+    assert meta["step"] == 7 and mgr.last_step() == 7
+    assert abs(meta["scale_factor"] - 1.4142) < 1e-9

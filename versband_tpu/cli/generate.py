@@ -32,6 +32,9 @@ def get_parser():
     p.add_argument("--vae_ckpt", default=None,
                    help="override first-stage checkpoint")
     p.add_argument("--vocoder_ckpt", default=None)
+    p.add_argument("--scale_factor", type=float, default=None,
+                   help="scale_by_std latent scale override (defaults to the "
+                        "value saved beside the checkpoint)")
     p.add_argument("--vocoder", default="hifigan",
                    choices=("hifigan", "nsf", "bigvgan", "pwg"),
                    help="vocoder family (reference serves hifigan, "
@@ -200,6 +203,25 @@ def main(argv: List[str] = None) -> int:
 
         dit_params = load_model_checkpoint(dit_params, opt.ckpt)
         print(f"Restored DiT from {opt.ckpt}")
+    # scale_by_std models train with scale_factor = 1/std(z) of the first
+    # batch; the trainer persists it beside the checkpoint — without it the
+    # VAE decodes sampled latents at the wrong amplitude
+    if opt.scale_factor is not None:
+        cfm.scale_factor = float(opt.scale_factor)
+    elif opt.ckpt and getattr(cfm, "scale_by_std", False) \
+            and cfm.scale_factor == 1.0:
+        meta_path = os.path.join(os.path.dirname(os.path.abspath(opt.ckpt)),
+                                 "last_step.json")
+        if os.path.exists(meta_path):
+            import json
+
+            sf = json.load(open(meta_path)).get("scale_factor")
+            if sf:
+                cfm.scale_factor = float(sf)
+                print(f"Restored scale_factor={cfm.scale_factor:.5f}")
+        else:
+            print("WARNING: scale_by_std=true but no saved scale_factor "
+                  "found; decoding with scale_factor=1.0")
 
     fs_cfg = model_cfg["params"]["first_stage_config"]
     mel0 = jnp.zeros((B, 80, 16))

@@ -234,8 +234,7 @@ class BandMoE(fnn.Module):
         ac_experts = StackedSwiGLU(E, self.dim, self.hidden_dim,
                                    self.multiple_of, dtype=self.dtype,
                                    name="acoustic_experts")
-        if (hard and self.eval_routed and keys.get("cap") is None
-                and self.is_initializing() is False):
+        if hard and self.eval_routed and self.is_initializing() is False:
             cap_sel = cap_experts(x, idx=jnp.argmax(cap_logits, axis=-1))
             ac_sel = ac_experts(x, idx=jnp.argmax(ac_logits, axis=-1))
             y = cap_sel * cap_mask + ac_sel * ac_mask

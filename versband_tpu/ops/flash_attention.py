@@ -386,7 +386,11 @@ def flash_attention(
 
     ``block_k=None`` picks the measured-fastest v5e plan: one full-width key
     pass (no fori_loop) for Tk <= 1536 — the framework's whole operating range
-    (max_len 1500) — falling back to 512-wide streaming blocks beyond that.
+    (max_len 1500) — and 512-wide compute blocks beyond that. NOTE the kernel
+    keeps the full K/V for one (b, h) resident in VMEM (the fori_loop streams
+    COMPUTE, not memory); past the VMEM budget (~Tk 12k fp32 / 24k bf16 at
+    D=128) the wrapper falls back to masked SDPA rather than fail Mosaic
+    allocation — a k-grid streaming kernel is the long-context upgrade path.
 
     Differentiable end-to-end in Pallas: the backward recomputes attention
     probabilities blockwise from the saved log-sum-exp (dq kernel over query
@@ -405,4 +409,27 @@ def flash_attention(
         block_k = _round_up(Tk, 8) if Tk <= 1536 else 512
     block_q = min(block_q, _round_up(Tq, 8))
     block_k = min(block_k, _round_up(Tk, 8))
+    # VMEM-resident bound: the kernel (and both backward kernels) hold one
+    # (b, h)'s full K/V (resp. Q/dO) in VMEM; past ~12 MB Mosaic cannot
+    # allocate. Degrade to masked SDPA instead of failing at compile.
+    resident = 2 * _round_up(max(Tq, Tk), block_k) * _round_up(D, _LANE) \
+        * k.dtype.itemsize
+    if resident > 12 * 2 ** 20:
+        return _sdpa_masked(q, k, v, kv_len, float(scale))
     return _flash(q, k, v, kv_len, float(scale), block_q, block_k, interpret)
+
+
+def _sdpa_masked(q: Array, k: Array, v: Array, kv_len: Array,
+                 scale: float) -> Array:
+    """Masked SDPA with flash_attention's exact semantics (key positions >=
+    kv_len ignored; kv_len == 0 rows return 0). O(Tq*Tk) memory — only used
+    past the Pallas kernel's VMEM-resident bound."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    valid = (jnp.arange(k.shape[1])[None, :]
+             < kv_len.astype(jnp.int32)[:, None])          # [B, Tk]
+    logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    out = jnp.where((kv_len > 0)[:, None, None, None], out, 0.0)
+    return out.astype(q.dtype)

@@ -27,10 +27,10 @@ materialization in XLA, ~8 us/grid-step at 512-row blocks) are gone: halos
 ride in from NEIGHBOR blocks (three in_specs over the same array with
 w-1/w/w+1 clamped index maps) and blocks are sized to ~512 KB.
 
-Interior outputs are exact. Boundary frames (the reference replicate-pads
-both the input and the upsampled signal; the kernel row-replicates at the
-first/last window) are recomputed exactly by ``_edge_fix`` over the first
-and last ``2q`` frames — tiny XLA tensors.
+Edge handling is EXACT in-kernel: the first/last blocks replicate-clamp
+their halo reads to reproduce the reference's replicate padding of both the
+input and the upsampled signal (no XLA fix-up pass; ``_edge_fix`` survives
+only for the polyphase fallback in ``vocoder/bigvgan.py``).
 
 Verification: tests/test_fused_act1d.py checks the kernel against the
 unfused UpSample1d -> snake -> DownSample1d module to 1e-5 (fp32).

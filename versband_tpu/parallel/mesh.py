@@ -44,7 +44,15 @@ def make_mesh(
         if n % n_model:
             raise ValueError(f"{n} devices not divisible by n_model={n_model}")
         n_data = n // n_model
+    if n_data * n_model > n:
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs "
+            f"{n_data * n_model} devices but only {n} are available")
     if n_data * n_model != n:
+        import warnings
+
+        warnings.warn(f"mesh ({n_data} x {n_model}) uses only "
+                      f"{n_data * n_model} of {n} devices", stacklevel=2)
         devices = devices[: n_data * n_model]
     shape = (n_data, n_model)
     if devices and devices[0].platform == "tpu":

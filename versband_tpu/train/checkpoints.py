@@ -61,10 +61,16 @@ class CheckpointManager:
         ckptr.wait_until_finished()
         return path
 
-    def save_last(self, state: Any, step: int) -> str:
+    def save_last(self, state: Any, step: int,
+                  extra: Optional[Dict[str, Any]] = None) -> str:
+        """``extra`` carries run-level scalars that live OUTSIDE the train
+        state but must survive resume/inference — e.g. the scale_by_std
+        latent scale factor (a buffer in the reference's checkpoints,
+        ``ddpm_audio.py:89-104``)."""
         path = self._write("last", state)
+        meta = {"step": int(step), **(extra or {})}
         with open(os.path.join(self.ckpt_dir, "last_step.json"), "w") as f:
-            json.dump({"step": int(step)}, f)
+            json.dump(meta, f)
         return path
 
     def save_step_archive(self, state: Any, step: int) -> Optional[str]:
@@ -102,12 +108,15 @@ class CheckpointManager:
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path, target=jax.device_get(target))
 
-    def last_step(self) -> int:
+    def last_meta(self) -> Dict[str, Any]:
         p = os.path.join(self.ckpt_dir, "last_step.json")
         if os.path.exists(p):
             with open(p) as f:
-                return int(json.load(f)["step"])
-        return 0
+                return json.load(f)
+        return {}
+
+    def last_step(self) -> int:
+        return int(self.last_meta().get("step", 0))
 
 
 def prune_ignored(params: Any, ignore_keys=()) -> Any:

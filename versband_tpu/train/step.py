@@ -12,10 +12,10 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh
 
-from versband_tpu.models.cfm import CFM, cfm_p_losses
+from versband_tpu.models.cfm import CFM
 from versband_tpu.parallel.sharding import (
     batch_shardings, param_shardings, replicated)
 from versband_tpu.train.state import TrainState
@@ -62,18 +62,13 @@ def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None,
         t = jax.random.randint(k_t, (x_start.shape[0],), 0, cfm.num_timesteps)
 
         def loss_fn(params):
-            k_noise, k_gumbel = jax.random.split(k_loss)
-            noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
-            return cfm_p_losses(
-                cfm.model.apply, params, x_start, cond, t, noise,
-                sigma_min=cfm.sigma_min, num_timesteps=cfm.num_timesteps,
-                l_simple_weight=cfm.l_simple_weight, step=state.step // accum,
-                gumbel_rng=k_gumbel)
+            return cfm.p_losses(params, x_start, cond, t, k_loss,
+                                step=state.step // accum)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         new_state = state.apply_gradients(grads)
-        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     return step_fn
@@ -102,11 +97,6 @@ def make_cfm_multi_step(cfm: CFM, accumulate_grad_batches: int = 1,
         return jax.lax.scan(body, state, batches)
 
     return multi_fn
-
-
-def optax_global_norm(tree) -> jax.Array:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
 def shard_train_step(step_fn: Callable, state: TrainState, batch_example: Any,

@@ -359,7 +359,10 @@ class CFMTrainer(BaseTrainer):
             print(f"setting scale_factor to {self.cfm.scale_factor:.5f}")
 
     def save_checkpoint(self, name: str):
-        self.ckpt.save_last(self.state, self.global_step)
+        # persist the scale_by_std factor (a checkpoint buffer in the
+        # reference) so resume/inference decode at the trained latent scale
+        self.ckpt.save_last(self.state, self.global_step,
+                            extra={"scale_factor": self.cfm.scale_factor})
 
     def fit(self, datamodule, resume: bool = False):
         self._dispatch("on_fit_start")
@@ -384,7 +387,13 @@ class CFMTrainer(BaseTrainer):
                             restored = self.ckpt.restore_last(self.state)
                             if restored is not None:
                                 self.state = restored
-                                self.global_step = self.ckpt.last_step()
+                                meta = self.ckpt.last_meta()
+                                self.global_step = int(meta.get("step", 0))
+                                if "scale_factor" in meta:
+                                    # override the value init_state recomputed
+                                    # from THIS run's first batch
+                                    self.cfm.scale_factor = float(
+                                        meta["scale_factor"])
                                 print(f"Resumed at step {self.global_step}")
                     if self.steps_per_call > 1:
                         # flush early if any padded shape changed (stacking
