@@ -195,3 +195,26 @@ def test_datamodule_from_config(manifest_tree):
     loader = dm.test_dataloader()
     batch = next(iter(loader))
     assert batch["image"].shape[0] == 2
+
+
+def test_sampler_equal_rank_counts_without_drop_last():
+    """Non-divisible batch counts must wrap around so every rank sees the
+    same number of batches (unequal counts hang multihost collectives)."""
+    from versband_tpu.data.sampler import IndexBatchSampler
+
+    # 10 batches over 4 replicas -> pad to 12, 3 per rank
+    counts, seen = [], []
+    for rank in range(4):
+        s = IndexBatchSampler(range(40), batch_size=4, num_replicas=4,
+                              rank=rank, shuffle=False)
+        counts.append(len(s.batches))
+        seen.extend(tuple(b) for b in s.batches)
+    assert counts == [3, 3, 3, 3]
+    # every original batch still covered at least once
+    every = {tuple(range(i, i + 4)) for i in range(0, 40, 4)}
+    assert set(seen) >= every
+
+    # drop_last still truncates instead of padding
+    s = IndexBatchSampler(range(40), batch_size=4, num_replicas=4, rank=0,
+                          shuffle=False, drop_last=True)
+    assert len(s.batches) == 2

@@ -75,3 +75,40 @@ def test_pwg_step_with_warmup_gating():
     # before disc_start: generator trains on STFT only, disc grads are gated
     assert _delta(g2.params, gen_state.params) > 0
     assert _delta(d2.params, disc_state.params) == pytest.approx(0.0, abs=1e-12)
+
+
+@pytest.mark.slow
+def test_bigvgan_gan_step_trains_with_unfused_activations():
+    """BigVGAN must be trainable: use_fused=False routes around the Pallas
+    activation (inference-only, no VJP); use_fused=True is rejected early."""
+    from versband_tpu.vocoder.bigvgan import BigVGANGenerator
+
+    gen = BigVGANGenerator(upsample_initial_channel=16,
+                           upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+                           resblock_kernel_sizes=(3,),
+                           resblock_dilation_sizes=((1, 3),),
+                           use_fused=False)
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    msd = MultiScaleDiscriminator()
+    T_mel, hop = 12, 16
+    mel = jax.random.normal(jax.random.PRNGKey(0), (1, 80, T_mel))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, T_mel * hop)) * 0.1
+
+    gp = gen.init(jax.random.PRNGKey(2), mel)
+    y = wav[:, None, :]
+    dp = {"mpd": mpd.init(jax.random.PRNGKey(3), y, y),
+          "msd": msd.init(jax.random.PRNGKey(4), y, y)}
+    gen_state = TrainState.create(gp, make_adamw(1e-4))
+    disc_state = TrainState.create(dp, make_adamw(1e-4))
+
+    def mel_fn(w):
+        return w.reshape(w.shape[0], -1, hop).mean(-1)[:, None, :]
+
+    step = jax.jit(make_hifigan_train_step(gen, mpd, msd, mel_fn))
+    g2, d2, metrics = step(gen_state, disc_state, {"mel": mel, "wav": wav})
+    for k in ("disc_loss", "gen_adv", "fm_loss", "mel_l1"):
+        assert np.isfinite(float(metrics[k])), k
+    assert _delta(g2.params, gen_state.params) > 0
+
+    with pytest.raises(ValueError, match="use_fused"):
+        make_hifigan_train_step(BigVGANGenerator(), mpd, msd, mel_fn)

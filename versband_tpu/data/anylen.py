@@ -11,6 +11,8 @@ import numpy as np
 from versband_tpu.data.collate import collate_1d_or_2d, collate_1d_or_2d_tile
 from versband_tpu.data.manifests import load_manifest_dirs, split_dataset
 
+from versband_tpu.data.rng import ThreadLocalRNG
+
 
 class JoinManifestSpecs:
     def __init__(self, split: str, main_spec_dir_path: str,
@@ -27,7 +29,7 @@ class JoinManifestSpecs:
         self.collate_mode = mode
         self.pad_value = pad_value
         self.drop = drop
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share the dataset
 
         self.df_main = load_manifest_dirs(main_spec_dir_path)
         self.df_other = (load_manifest_dirs(other_spec_dir_path).reset_index()

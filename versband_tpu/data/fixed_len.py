@@ -10,6 +10,8 @@ import numpy as np
 
 from versband_tpu.data.manifests import load_manifest_dirs, split_dataset
 
+from versband_tpu.data.rng import ThreadLocalRNG
+
 
 class JoinManifestSpecs:
     def __init__(self, split: str, spec_dir_path: str, mel_num: int = 80,
@@ -20,7 +22,7 @@ class JoinManifestSpecs:
         self.batch_min_length = 50
         self.mel_num = mel_num
         self.drop = drop
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share the dataset
         df = load_manifest_dirs(spec_dir_path, recursive=True)
         self.dataset = split_dataset(df, split, valid_head=100)
 

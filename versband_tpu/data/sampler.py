@@ -52,6 +52,11 @@ class IndexBatchSampler:
         batches = self._build_batches()
         if drop_last and len(batches) % num_replicas:
             batches = batches[: len(batches) // num_replicas * num_replicas]
+        elif len(batches) % num_replicas and len(batches) >= num_replicas:
+            # equalize per-rank batch counts by wrapping around (the torch
+            # DistributedSampler padding semantics): unequal counts would
+            # hang multihost collectives when the shorter ranks run dry
+            batches = batches + batches[: (-len(batches)) % num_replicas]
         if len(batches) >= num_replicas:
             batches = batches[rank::num_replicas]
         elif batches:

@@ -12,6 +12,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from versband_tpu.data.rng import ThreadLocalRNG
+
 
 class TSVDataset:
     def __init__(self, tsv_path: str, spec_crop_len: int = 1500,
@@ -21,7 +23,7 @@ class TSVDataset:
         self.spec_crop_len = spec_crop_len
         self.mel_num = mel_num
         self.pad_value = pad_value
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share the dataset
 
     def _load_mel(self, row) -> np.ndarray:
         try:

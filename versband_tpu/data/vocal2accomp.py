@@ -14,7 +14,8 @@ gap; this module serves both target names). Per item:
   * corrupted-file fallbacks substitute pad-value tensors (:154-160);
   * lengths forced to multiples of 8 (``unit_frames_multiple``, :42,194).
 
-Randomness is a per-dataset seeded ``np.random.Generator``.
+Randomness is a per-dataset seeded stream, thread-local per loader worker
+(``data/rng.py``) so the prefetch pool's concurrent draws stay well-defined.
 """
 
 from __future__ import annotations
@@ -27,6 +28,8 @@ import numpy as np
 from versband_tpu.data.collate import collate_1d_or_2d, pad_or_cut_xd
 from versband_tpu.data.manifests import load_manifest_dirs, split_dataset
 from versband_tpu.text.caption_generator import CaptionGenerator2
+
+from versband_tpu.data.rng import ThreadLocalRNG
 
 MIDI_PAD = 128
 BEATS_PAD = 2
@@ -51,7 +54,7 @@ class JoinManifestSpecs:
         self.pad_value = pad_value
         self.drop = drop
         self.max_tokens = max_tokens
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share the dataset
         self.caption_generator = CaptionGenerator2(rng=self.rng,
                                                     templates=caption_templates)
 
@@ -116,6 +119,7 @@ class JoinManifestSpecs:
         valid_spec = True
         try:
             spec = np.load(data["mel_path"]).astype(np.float32)  # [80, T]
+            org_spec_len = spec.shape[1]
             if spec.shape[1] > self.max_batch_len:
                 start = int(self.rng.integers(spec.shape[1] - self.max_batch_len))
                 spec = spec[:, start: start + self.max_batch_len]
@@ -123,6 +127,7 @@ class JoinManifestSpecs:
             print(f"corrupted: {data['mel_path']}")
             spec = np.full((self.mel_num, self.min_batch_len), self.pad_value,
                            np.float32)
+            org_spec_len = self.min_batch_len
             start = 0
             valid_spec = False
         spec_len = spec.shape[1]
@@ -136,11 +141,18 @@ class JoinManifestSpecs:
             valid_spec = valid_spec and False
 
         # CFG dropout of the acoustic conditioning (:167-171)
-        if self.rng.uniform() < self.drop or not valid_spec:
+        dropped = self.rng.uniform() < self.drop or not valid_spec
+        if dropped:
             acoustic, midi, beats = self._pad_conditions(spec_len)
 
-        # length-consistency guard (:172-176)
-        if abs(acoustic.shape[1] - spec_len) > 5 and valid_spec:
+        # length-consistency guard (:172-176). The reference captures the
+        # UNCROPPED mel length for this check but then overwrites it with the
+        # cropped one (`org_spec_len = spec_len = spec.shape[1]` re-runs after
+        # the crop, :163), which silently pads away the conditioning of every
+        # item longer than max_batch_len; this follows the evident intent
+        # (compare full-length vocal mel vs full-length accomp mel) instead.
+        if abs(acoustic.shape[1] - org_spec_len) > 5 and valid_spec \
+                and not dropped:
             print(f"corrupted: {data.get('vocal_mel_path')}")
             acoustic, midi, beats = self._pad_conditions(spec_len)
 

@@ -97,6 +97,17 @@ class _FrozenT5Tower:
         if self.model is None:
             cfg = T5Config(**{**self.FALLBACK, **(fallback_config or {})})
             self.model = FlaxT5EncoderModel(cfg)
+        elif self.tokenizer is None:
+            # real weights + hashed token ids = silently meaningless
+            # embeddings; make the mismatch loud (same guard as the BERT tower)
+            import warnings
+
+            warnings.warn(
+                f"loaded T5 weights from {version} but found no tokenizer "
+                "files there; falling back to HashTokenizer, so caption "
+                "embeddings will NOT match the reference. Place the "
+                "tokenizer files (spiece.model / tokenizer.json) in that "
+                "directory.", stacklevel=2)
         if self.tokenizer is None:
             self.tokenizer = HashTokenizer(self.model.config.vocab_size)
         self.params = self.model.params

@@ -32,6 +32,11 @@ def make_hifigan_train_step(generator, mpd, msd, mel_fn: Callable,
     Returns ``step(gen_state, disc_state, batch) -> (states, metrics)``;
     ``disc_state.params`` = {'mpd': ..., 'msd': ...}.
     """
+    if getattr(generator, "use_fused", False):
+        raise ValueError(
+            "this generator was built with use_fused=True: the fused Pallas "
+            "activation is inference-only (pallas_call has no VJP) — "
+            "construct the training generator with use_fused=False")
 
     def step(gen_state: TrainState, disc_state: TrainState,
              batch: Dict[str, Array]):

@@ -270,18 +270,21 @@ class AMPBlock1(fnn.Module):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     use_weight_norm: bool = True
+    use_fused: bool = True  # Pallas fused activation: inference-only (no VJP)
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, x: Array) -> Array:
         for i, d in enumerate(self.dilations):
             h = Activation1d(self.channels, self.activation,
-                             self.snake_logscale, name=f"acts1_{i}")(x)
+                             self.snake_logscale, self.use_fused,
+                             name=f"acts1_{i}")(x)
             h = WNConv1d(self.channels, self.kernel_size, dilation=d,
                          use_weight_norm=self.use_weight_norm, init_std=0.01,
                          dtype=self.dtype, name=f"convs1_{i}")(h)
             h = Activation1d(self.channels, self.activation,
-                             self.snake_logscale, name=f"acts2_{i}")(h)
+                             self.snake_logscale, self.use_fused,
+                             name=f"acts2_{i}")(h)
             h = WNConv1d(self.channels, self.kernel_size, dilation=1,
                          use_weight_norm=self.use_weight_norm, init_std=0.01,
                          dtype=self.dtype, name=f"convs2_{i}")(h)
@@ -298,13 +301,15 @@ class AMPBlock2(fnn.Module):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     use_weight_norm: bool = True
+    use_fused: bool = True  # Pallas fused activation: inference-only (no VJP)
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, x: Array) -> Array:
         for i, d in enumerate(self.dilations):
             h = Activation1d(self.channels, self.activation,
-                             self.snake_logscale, name=f"acts_{i}")(x)
+                             self.snake_logscale, self.use_fused,
+                             name=f"acts_{i}")(x)
             h = WNConv1d(self.channels, self.kernel_size, dilation=d,
                          use_weight_norm=self.use_weight_norm, init_std=0.01,
                          dtype=self.dtype, name=f"convs_{i}")(h)
@@ -325,6 +330,7 @@ class BigVGANGenerator(fnn.Module):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     use_weight_norm: bool = True
+    use_fused: bool = True  # set False to TRAIN (the Pallas kernel has no VJP)
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
@@ -346,11 +352,12 @@ class BigVGANGenerator(fnn.Module):
                                              self.resblock_dilation_sizes)):
                 h = amp_cls(ch, rk, tuple(rd), self.activation,
                             self.snake_logscale, self.use_weight_norm,
+                            use_fused=self.use_fused,
                             dtype=self.dtype, name=f"resblocks_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(self.resblock_kernel_sizes)
         x = Activation1d(ch, self.activation, self.snake_logscale,
-                         name="activation_post")(x)
+                         self.use_fused, name="activation_post")(x)
         x = WNConv1d(1, 7, use_weight_norm=self.use_weight_norm, init_std=0.01,
                      dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

@@ -103,7 +103,9 @@ class DiscriminatorP(fnn.Module):
         p = self.period
         if T % p:
             pad = p - T % p
-            x = jnp.concatenate([x, x[:, :, T - pad:][:, :, ::-1]], axis=2)
+            # torch reflect padding EXCLUDES the edge sample
+            # (``hifigan.py:228``: appends x[T-2], x[T-3], ...)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)), mode="reflect")
             T += pad
         h = x.reshape(B, C, T // p, p).transpose(0, 2, 3, 1)  # NHWC
         fmap = []

@@ -202,15 +202,19 @@ class HifiGAN_NSF:
         self._apply = jax.jit(
             lambda p, mel, f0, key: self.model.apply(p, mel, f0,
                                                      noise_key=key))
+        # f0-less path (use_nsf=False): the reference calls the plain
+        # generator with no source module (``hifigan_nsf.py:104``)
+        self._apply_plain = jax.jit(lambda p, mel: self.model.apply(p, mel))
 
-    def ensure_params(self, mel_shape, f0_shape):
+    def ensure_params(self, mel_shape, f0_shape=None):
         if self.params is None:
             from versband_tpu.vocoder.conv import fold_weight_norm
 
+            f0 = None if f0_shape is None else jnp.zeros(f0_shape)
             self.params = fold_weight_norm(self.model.init(
                 {"params": jax.random.PRNGKey(0),
                  "source": jax.random.PRNGKey(1)},
-                jnp.zeros(mel_shape), jnp.zeros(f0_shape),
+                jnp.zeros(mel_shape), f0,
                 noise_key=jax.random.PRNGKey(2)))
         return self.params
 
@@ -220,6 +224,13 @@ class HifiGAN_NSF:
             mel = mel[None]
         if f0 is None and self.use_nsf:
             f0 = np.stack([estimate_f0_from_mel(m, self.sr) for m in mel])
+        if f0 is None:  # use_nsf=False: harmonic source skipped entirely
+            params = self.ensure_params(mel.shape)
+            wav = np.asarray(
+                self._apply_plain(params, jnp.asarray(mel))).reshape(-1)
+            if denoise_v > 0:
+                wav = stft_denoise(wav, denoise_v)
+            return wav
         f0 = np.asarray(f0, np.float32)
         if f0.ndim == 1:
             f0 = f0[None]

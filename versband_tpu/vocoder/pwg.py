@@ -484,8 +484,12 @@ class MelGANDiscriminator(fnn.Module):
         outs.append(h)
         ch = self.channels
         for i, scale in enumerate(self.downsample_scales):
+            # reference groups = in_channels // 4 (``melgan.py:257``) — NOT a
+            # function of the clamped out_channels, which diverges once
+            # channels saturate at max_downsample_channels
+            groups = max(ch // 4, 1)
             ch = min(ch * scale, self.max_downsample_channels)
-            h = WNConv1d(ch, scale * 10 + 1, stride=scale, groups=max(ch // 16, 1),
+            h = WNConv1d(ch, scale * 10 + 1, stride=scale, groups=groups,
                          padding=scale * 5,
                          use_weight_norm=self.use_weight_norm,
                          dtype=self.dtype, name=f"down_{i}")(h)
