@@ -186,3 +186,18 @@ def test_reference_mode_v2_dead_zone_drops_feature():
     assert g.prepare_tempo(90, 0.9) is None
     assert g.prepare_avg_pitch(54) is None
     assert g.prepare_duration(5.0) in (None, "5 seconds")
+
+
+def test_simplekey_lowercase_flat_tonics():
+    """'bb'/'eb' (lowercase-minor flat spellings) must parse as B-/E- tonics,
+    not have their note letter eaten by the accidental replacement."""
+    from versband_tpu.text.caption_generator import SimpleKey
+
+    k = SimpleKey("bb minor")
+    assert k.tonic == "B-" and k.mode == "minor" and k.pitch_class == 10
+    assert k.relative.tonic == "C#" and k.relative.mode == "major"
+    k2 = SimpleKey("eb major")
+    assert k2.tonic == "E-" and k2.pitch_class == 3
+    # unchanged spellings still work
+    assert SimpleKey("Bb major").tonic == "B-"
+    assert SimpleKey("b minor").tonic == "B" and SimpleKey("b minor").pitch_class == 11

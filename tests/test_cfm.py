@@ -124,3 +124,17 @@ def test_encode_once_matches_full_recompute(cfm):
     b = euler_cfg_sample(m.model.apply, params, x0, cond, uncond, 2.0, 10,
                          encode_once=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_cfg_shape_from_midi_only_cond(cfm):
+    """log_images-style cond (midi/beats only, no 'acoustic' mel) must still
+    derive the latent shape (regression: KeyError 'acoustic')."""
+    m, params = cfm
+    full = _cond()
+    cond = {"caption": full["caption"],
+            "acoustic": {"midi": full["acoustic"]["midi"],
+                         "beats": full["acoustic"]["beats"]}}
+    z = m.sample_cfg(params, cond, 1.0, None, jax.random.PRNGKey(9),
+                     timesteps=2)
+    T_mel = full["acoustic"]["midi"].shape[2]
+    assert z.shape == (2, 6, m.latent_length(T_mel))

@@ -269,7 +269,9 @@ def main(argv: List[str] = None) -> int:
                     if cond_stage is None else cond_stage(cond))
 
         c = learned(item["caption"])
-        uc = learned("")
+        # the uncond tower pass is only needed when some scale actually
+        # applies CFG (uncond keeps acoustic, faithful to test_final.py:401-407)
+        uc = learned("") if any(s != 1.0 for s in scales) else None
         for scale in scales:
             key, k = jax.random.split(key)
             z = sampler.sample_cfg(dit_params, c, scale,

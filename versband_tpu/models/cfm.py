@@ -231,7 +231,9 @@ class LatentDiffusion:
     def get_learned_conditioning(self, cond_params, cond: Dict[str, Any]) -> Dict[str, Any]:
         if self.cond_stage is None:
             return cond
-        return self.cond_stage(cond_params, cond)
+        # embedders are frozen host-side towers carrying their own params
+        # (__call__(cond)); cond_params is kept for signature compatibility
+        return self.cond_stage(cond)
 
     # --- losses -------------------------------------------------------------
     def get_loss(self, pred: Array, target: Array) -> Array:
@@ -277,8 +279,13 @@ class CFM(LatentDiffusion):
         (``cfm1_audio.py:92-116``)."""
         steps = 25 if timesteps is None else timesteps
         if shape is None:
-            T_cond = cond["acoustic"]["acoustic"].shape[2]
-            B = batch_size or cond["acoustic"]["acoustic"].shape[0]
+            # the shipped cond dict may carry only midi/beats (the model
+            # derives 'acoustic' from them) — any entry fixes B and T_cond
+            ac = cond["acoustic"]
+            ref = next(ac[k] for k in ("acoustic", "midi", "beats")
+                       if ac.get(k) is not None)
+            T_cond = ref.shape[2]
+            B = batch_size or ref.shape[0]
             shape = (B, self.mel_dim, self.latent_length(T_cond))
         x0 = (jax.random.normal(key, shape, jnp.float32)
               if x_latent is None else x_latent)

@@ -77,7 +77,10 @@ class SimpleKey:
             mode = mode.lower()
         else:
             tonic, mode = name, ("minor" if name[0].islower() else "major")
-        tonic = tonic.replace("b", "-") if len(tonic) > 1 else tonic
+        # only the ACCIDENTAL 'b' maps to '-': the first char may itself be
+        # the note b (lowercase-minor spelling 'bb' = B-flat minor)
+        if len(tonic) > 1:
+            tonic = tonic[0] + tonic[1:].replace("b", "-")
         self.tonic = tonic[0].upper() + tonic[1:]
         self.mode = mode if mode in ("major", "minor") else "major"
 

@@ -11,7 +11,9 @@ Split into pure jit-friendly pieces the train step composes:
     LAST-LAYER kernel — two scoped ``jax.grad`` calls in the train step (the
     natural JAX form of the reference's ``torch.autograd.grad`` on
     ``decoder.conv_out``), clamp [0, 1e4], x disc_weight.
-  * R1 penalty = ||d logits_real.sum() / d input||^2 — one ``jax.grad`` wrt
+  * R1 penalty = mean((d logits_real.sum() / d input)^2) over ALL elements
+    (the reference's ``r1_grads.square().mean()``, NOT the StyleGAN2
+    per-sample norm) — one ``jax.grad`` wrt
     the input; no ``create_graph`` double-backward gymnastics.
   * MSE (LSGAN) / hinge / vanilla discriminator losses.
 """

@@ -85,14 +85,18 @@ class BaseTrainer:
         self._sig_save = True
 
     def log_metrics(self, metrics: Dict[str, Any], step: int, prefix: str = ""):
-        if step % self.log_every_n_steps and not prefix.startswith("val"):
+        # val/test metrics arrive at arbitrary steps (epoch boundaries) and
+        # must never be rate-gated; keys may carry their own val/test prefix
+        eval_call = any(str(k).startswith(("val", "test"))
+                        for k in [prefix, *metrics])
+        if step % self.log_every_n_steps and not eval_call:
             return
         scal = {f"{prefix}{k}": float(np.asarray(v)) for k, v in metrics.items()
                 if np.ndim(v) == 0}
         if self.writer is not None:
             for k, v in scal.items():
                 self.writer.add_scalar(k, v, step)
-        if prefix.startswith("val") or step % (self.log_every_n_steps * 10) == 0:
+        if eval_call or step % (self.log_every_n_steps * 10) == 0:
             pretty = ", ".join(f"{k}={v:.4f}" for k, v in list(scal.items())[:6])
             print(f"[step {step}] {pretty}")
 
@@ -241,7 +245,8 @@ class VAETrainer(BaseTrainer):
             names = batch.get("f_name") or batch.get("name") or \
                 [str(count + i) for i in range(mel.shape[0])]
             for b, name in enumerate(names):
-                base = str(name)[: str(name).rfind("_")] or str(name)
+                s = str(name)  # strip a trailing _<idx> only when present
+                base = s[: s.rfind("_")] if "_" in s else s
                 np.save(os.path.join(savedir, f"{base}.npy"),
                         np.asarray(recon[b]))
                 count += 1
@@ -577,7 +582,10 @@ class CFMTrainer(BaseTrainer):
             k = jax.random.fold_in(jax.random.PRNGKey(17), i)
             loss, parts = self._val_step(params, self.vae_params,
                                          db["image"], cond, k)
-            losses.append(float(loss))
+            # monitor the pure flow-matching mse (the reference's
+            # val/loss_simple), not the total contaminated by the MoE
+            # load-balance term
+            losses.append(float(parts["loss_simple"]))
         suffix = "_ema" if self.use_ema else ""
         agg = {f"val/loss_simple{suffix}": float(np.mean(losses))}
         self.log_metrics(agg, self.global_step, "")

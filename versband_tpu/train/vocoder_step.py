@@ -95,8 +95,12 @@ def make_pwg_train_step(generator, discriminator, lambda_adv: float = 4.0,
         def g_loss_fn(g_params):
             wav_hat = generator.apply(g_params, noise, mel)[:, 0, :]
             sc, mag = multi_resolution_stft_loss(wav_hat, wav)
-            adv = -jnp.mean(discriminator.apply(
-                disc_state.params, wav_hat[:, None, :]))
+            # LSGAN generator term matching the discriminator's mse losses
+            # (the upstream parallel_wavegan recipe: mse(D(fake), 1)); the
+            # previous -mean(D(fake)) is unbounded below against an mse-
+            # trained discriminator
+            adv = jnp.mean((1.0 - discriminator.apply(
+                disc_state.params, wav_hat[:, None, :])) ** 2)
             total = sc + mag + warm * lambda_adv * adv
             return total, (wav_hat, {"sc_loss": sc, "mag_loss": mag,
                                      "gen_adv": adv, "gen_loss": total})
