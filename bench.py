@@ -130,7 +130,11 @@ def build_pipeline():
         return acc
 
     def timed_scan(n_iter):
-        keys = jax.random.split(jax.random.PRNGKey(7), n_iter)
+        # warm and timed passes use DIFFERENT keys/inputs: byte-identical
+        # repeat calls can hit a relay fast path through the axon tunnel
+        # and under-report (docs/BENCH_NOTES.md "Honest timing")
+        keys_warm = jax.random.split(jax.random.PRNGKey(7), n_iter)
+        keys_timed = jax.random.split(jax.random.PRNGKey(8), n_iter)
         # RPC floor: a trivial scan of the same call structure
         @jax.jit
         def floor_run(ms):
@@ -140,19 +144,20 @@ def build_pipeline():
             return s
         dummy = jnp.zeros((n_iter, 8, 8))
         float(floor_run(dummy))
+        dummy2 = jax.block_until_ready(dummy + 1.0)
         t0 = time.perf_counter()
-        float(floor_run(dummy))
+        float(floor_run(dummy2))
         floor_ms = (time.perf_counter() - t0) * 1e3
 
-        acc, zs = sample_scan(dit_params, keys)  # compile + warm
+        acc, zs_warm = sample_scan(dit_params, keys_warm)  # compile + warm
         float(acc)
         t0 = time.perf_counter()
-        acc, zs = sample_scan(dit_params, keys)
+        acc, zs = sample_scan(dit_params, keys_timed)
         float(acc)
         sample_ms = max((time.perf_counter() - t0) * 1e3 - floor_ms, 0.0) \
             / n_iter
 
-        float(finish_scan(vae_params, voc_params, zs))  # compile + warm
+        float(finish_scan(vae_params, voc_params, zs_warm))  # compile + warm
         t0 = time.perf_counter()
         acc = finish_scan(vae_params, voc_params, zs)
         float(acc)

@@ -27,23 +27,16 @@ SR = 24000
 HOP = 320
 
 
-def _floor_and_run(run, args, n):
-    """Time run(*args) (a jitted scan over n items) minus the RPC floor."""
-    run(*args)  # compile + warm
-    t0 = time.perf_counter()
-    run(*args)
-    return (time.perf_counter() - t0) * 1e3 / n
-
-
 def _rpc_floor(example, n):
     @jax.jit
     def floor_run(ms):
         s, _ = jax.lax.scan(lambda c, m: (c + jnp.sum(m.astype(jnp.float32)),
                                           None), 0.0, ms)
         return s
-    float(floor_run(example))
+    float(floor_run(example))  # compile + warm
+    ex2 = jax.block_until_ready(example + 1.0)  # distinct timed args
     t0 = time.perf_counter()
-    float(floor_run(example))
+    float(floor_run(ex2))
     return (time.perf_counter() - t0) * 1e3
 
 
@@ -65,9 +58,11 @@ def bench_mel():
         s, _ = jax.lax.scan(body, 0.0, ms)
         return s
 
-    float(run(wavs))
+    float(run(wavs))  # compile + warm
+    # timed pass on DIFFERENT data: identical args can hit a relay fast path
+    wavs2 = jax.block_until_ready(wavs * 1.0001)
     t0 = time.perf_counter()
-    float(run(wavs))
+    float(run(wavs2))
     ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
     rtf = secs / (ms_per / 1e3)
     print(json.dumps({"metric": "mel_extract_rtf", "value": round(rtf, 1),
@@ -91,9 +86,10 @@ def bench_vocoder():
         s, _ = jax.lax.scan(body, 0.0, ms)
         return s
 
-    float(run(p, mels))
+    float(run(p, mels))  # compile + warm
+    mels2 = jax.block_until_ready(mels * 1.0001)  # distinct timed args
     t0 = time.perf_counter()
-    float(run(p, mels))
+    float(run(p, mels2))
     ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
     secs = T * HOP / SR
     rtf = secs / (ms_per / 1e3)
@@ -124,9 +120,10 @@ def bench_vae_roundtrip():
         s, _ = jax.lax.scan(body, 0.0, ms)
         return s
 
-    float(run(p, mels))
+    float(run(p, mels))  # compile + warm
+    mels2 = jax.block_until_ready(mels * 1.0001)  # distinct timed args
     t0 = time.perf_counter()
-    float(run(p, mels))
+    float(run(p, mels2))
     ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
     secs = T * HOP / SR
     rtf = secs / (ms_per / 1e3)
@@ -160,7 +157,10 @@ def bench_train_step():
 
     batch = {
         "image": jax.random.normal(jax.random.PRNGKey(2), (B, 80, T_MEL)),
-        "caption": jax.random.normal(jax.random.PRNGKey(3), (B, 80, 768)),
+        # ori_dim 1024: the shipped cond tower is flan-t5-large (d_model
+        # 1024, configs/vocal2music.yaml:43) — 768 would silently init a
+        # smaller caption projection and under-measure the step
+        "caption": jax.random.normal(jax.random.PRNGKey(3), (B, 80, 1024)),
         "midi": jax.random.randint(jax.random.PRNGKey(4), (B, 1, T_MEL), 0, 130),
         "beats": jax.random.randint(jax.random.PRNGKey(5), (B, 1, T_MEL), 0, 3),
     }
@@ -174,25 +174,29 @@ def bench_train_step():
         x0, jnp.zeros((B,)), ctx, train=True)
 
     tx = make_adamw(1e-4, grad_clip=1.0)
-    state = TrainState.create(params, tx, ema_decay=0.9999)
+    # shipped config trains WITHOUT EMA (vocal2music.yaml use_ema: false);
+    # a 0.9999 shadow would add a full per-param update to the timed step
+    state = TrainState.create(params, tx, ema_decay=None)
     step_fn = make_cfm_train_step(cfm, vae_params=None)
 
     N = 5
 
     @jax.jit
-    def run(state, batch, vae_params):
+    def run(state, batch, vae_params, base):
         def body(carry, i):
             st, _ = carry
             st, metrics = step_fn(st, batch, jax.random.fold_in(
-                jax.random.PRNGKey(8), i), vae_params)
+                base, i), vae_params)
             return (st, metrics["loss"]), None
         (st, loss), _ = jax.lax.scan(body, (state, 0.0), jnp.arange(N))
         return loss
 
     floor = _rpc_floor(jnp.zeros((N, 8, 8)), N)
-    float(run(state, batch, vae_params))
+    # timed pass uses DIFFERENT keys than the warm pass: identical args can
+    # hit a relay fast path through the tunnel and under-report
+    float(run(state, batch, vae_params, jax.random.PRNGKey(8)))
     t0 = time.perf_counter()
-    float(run(state, batch, vae_params))
+    float(run(state, batch, vae_params, jax.random.PRNGKey(9)))
     ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
     print(json.dumps({"metric": "cfm_train_step_ms", "value": round(ms_per, 1),
                       "unit": "ms/step_bs8",

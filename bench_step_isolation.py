@@ -49,10 +49,13 @@ def main():
     rng = np.random.default_rng(0)
     img_np = rng.standard_normal((K, B, 80, T_MEL)).astype(np.float32)
 
+    # scalar READBACK sync: block_until_ready acks early through the axon
+    # relay (documented 0.2 ms ack for a 38 ms op) and would report h2d as
+    # free — the opposite of what this script disambiguates
     t("h2d 31MB image stack (synced)",
-      lambda: jax.block_until_ready(jnp.asarray(img_np)))
+      lambda: float(jnp.sum(jnp.asarray(img_np))))
     t("h2d 3.9MB single image (synced)",
-      lambda: jax.block_until_ready(jnp.asarray(img_np[0])))
+      lambda: float(jnp.sum(jnp.asarray(img_np[0]))))
 
     batch1 = {
         "image": jnp.asarray(img_np[0]),

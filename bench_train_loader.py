@@ -85,8 +85,18 @@ def mark(msg):
 
 
 def main():
-    if not os.path.exists(f"{DATA}/manifests/music.tsv"):
+    # regenerate when the generation constants change: a stale /tmp dataset
+    # from an older script version would silently benchmark a different
+    # workload
+    stamp_path = f"{DATA}/gen_stamp.txt"
+    stamp = f"N_UNIQUE={N_UNIQUE} N_ROWS={N_ROWS} v2"
+    fresh = (os.path.exists(f"{DATA}/manifests/music.tsv")
+             and os.path.exists(stamp_path)
+             and open(stamp_path).read() == stamp)
+    if not fresh:
         gen_data()
+        with open(stamp_path, "w") as f:
+            f.write(stamp)
     mark("data ready")
 
     import jax
@@ -153,7 +163,10 @@ def main():
 
     t0 = time.perf_counter()
     trainer.fit(datamodule)
-    jax.block_until_ready(trainer.state.step)  # one scalar, not the tree
+    # honest end sync: scalar READBACK, not block_until_ready (the axon
+    # relay acks block_until_ready before execution completes —
+    # docs/BENCH_NOTES.md "Honest timing")
+    float(np.asarray(trainer.state.step))
     t1 = time.perf_counter()
     assert timer.t_warm is not None and timer.done >= N_STEPS
     steps = timer.done - timer.warm_step

@@ -20,5 +20,5 @@ def test_entry_compiles_and_runs():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == args[0].shape
+    assert out.shape == args[1].shape  # args = (params, x, t, context)
     assert bool(jnp.isfinite(out).all())
