@@ -21,7 +21,9 @@ each distinct dilation (10 of them for the 30-layer config) compiles once.
 Layout: x [B, T, R], c [B, T, A], skip [B, T, S] fp32. T must be a multiple
 of the block size and at least 2*D_HALO; callers zero-pad T and slice back
 (the kernel re-zeroes the tail pad each layer, preserving exact per-layer
-SAME zero-pad semantics).
+SAME zero-pad semantics). block_t=2048 is the largest block whose
+double-buffered refs + fp32 gate intermediates fit the 16 MB scoped-VMEM
+stack on v5e (4096 exceeds it by ~2 MB at R=S=64, A=80).
 """
 
 from __future__ import annotations
@@ -86,7 +88,7 @@ def fused_wavenet_layer(
     w_gate: Array, b_gate: Array, w_caux: Array,
     w_skip: Array, b_skip: Array, w_out: Array, b_out: Array,
     dilation: int, t_real: int,
-    block_t: int = 4096, interpret: Optional[bool] = None,
+    block_t: int = 2048, interpret: Optional[bool] = None,
 ) -> Optional[Tuple[Array, Array]]:
     """One fused residual layer. Returns ``(x', skip')`` or None when the
     shapes don't fit the kernel's constraints (caller falls back).

@@ -246,7 +246,7 @@ class ParallelWaveGANGenerator(fnn.Module):
         if fused:
             from versband_tpu.ops.fused_wavenet import D_HALO
 
-            blk = 4096
+            blk = 2048
             t_pad = max(-(-t_real // blk) * blk, 2 * D_HALO)
             h = jnp.pad(h, ((0, 0), (0, t_pad - t_real), (0, 0)))
             c = jnp.pad(c, ((0, 0), (0, t_pad - t_real), (0, 0)))
