@@ -56,10 +56,66 @@ def scan_time(fn, params, stacked, fixed=(), iters=4):
     return (t_many - t_floor) / iters * 1e3
 
 
+def parity_check():
+    """Fused-vs-dense parity ON DEVICE (not interpret mode): validates the
+    kernel's actual Mosaic lowering before any timing is trusted.
+
+    Two passes: HIGHEST matmul precision (both paths do exact fp32 multiplies
+    -> any mismatch is a lowering bug; asserted < 5e-5) and DEFAULT precision
+    (both paths use MXU bf16-pass multiplies but group ops differently, so
+    layer deltas ~1e-4 are pure rounding; reported, asserted only loosely)."""
+    from versband_tpu.vocoder.pwg import (ParallelWaveGANGenerator,
+                                          ResidualBlock)
+
+    backend = jax.default_backend()
+    rng = jax.random
+
+    def layer_rel(dil):
+        key = rng.PRNGKey(dil)
+        x = rng.normal(rng.fold_in(key, 0), (1, 8192, 64), jnp.float32)
+        c = rng.normal(rng.fold_in(key, 1), (1, 8192, 80), jnp.float32)
+        s0 = rng.normal(rng.fold_in(key, 2), (1, 8192, 64), jnp.float32)
+        blk = ResidualBlock(dilation=dil)
+        p = jax.jit(blk.init)(rng.PRNGKey(9), x, c)
+        out_d, s_d = jax.jit(blk.apply)(p, x, c)
+        out_f, s_f = jax.jit(
+            lambda p, x, c, s0: blk.apply(p, x, c, skip=s0))(p, x, c, s0)
+        scale = float(jnp.max(jnp.abs(out_d))) + 1e-6
+        return max(float(jnp.max(jnp.abs(out_f - out_d))) / scale,
+                   float(jnp.max(jnp.abs(s_f - (s0 + s_d))))
+                   / (float(jnp.max(jnp.abs(s0 + s_d))) + 1e-6))
+
+    def gen_rel():
+        mel = rng.normal(rng.PRNGKey(3), (1, 80, 32), jnp.float32)
+        noise = rng.normal(rng.PRNGKey(4), (1, 1, 28 * HOP), jnp.float32)
+        dense = ParallelWaveGANGenerator()
+        fusedg = ParallelWaveGANGenerator(fused_inference=True)
+        p = jax.jit(dense.init)(rng.PRNGKey(5), noise, mel)
+        wav_d = jax.jit(dense.apply)(p, noise, mel)
+        wav_f = jax.jit(fusedg.apply)(p, noise, mel)
+        return float(jnp.max(jnp.abs(wav_f - wav_d))) \
+            / (float(jnp.max(jnp.abs(wav_d))) + 1e-6)
+
+    with jax.default_matmul_precision("highest"):
+        worst = max(max(layer_rel(d) for d in (1, 64, 512)), gen_rel())
+    print(f"parity HIGHEST [{backend}]: worst rel_err={worst:.2e}", flush=True)
+    assert worst < 5e-5, \
+        f"fused-vs-dense ON-DEVICE lowering parity FAILED: {worst}"
+    for dil in (1, 64, 512):
+        print(f"parity DEFAULT d={dil:4d}: rel_err={layer_rel(dil):.2e} "
+              f"(MXU rounding, informational)", flush=True)
+    g = gen_rel()
+    print(f"parity DEFAULT generator: rel_err={g:.2e}", flush=True)
+    assert g < 0.05, f"default-precision generator delta implausibly big: {g}"
+    print(f"on-device parity OK (lowering exact at {worst:.2e})", flush=True)
+
+
 def main():
     from versband_tpu.vocoder.pwg import (ConvInUpsampleNetwork,
                                           ParallelWaveGANGenerator,
                                           ResidualBlock)
+
+    parity_check()
 
     key = jax.random.PRNGKey(0)
     N = 4

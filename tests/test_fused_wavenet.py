@@ -65,8 +65,9 @@ def test_fused_layer_edge_zero_padding():
 
 @pytest.mark.parametrize("dilation", [64, 512])
 def test_fused_layer_multi_block_seams(dilation):
-    """nb>1 grid: dilated taps crossing 4096-row block seams must read the
-    neighbor halo blocks, not clamped garbage (serving runs 100+ blocks)."""
+    """nb>1 grid: dilated taps crossing BLOCK_T(=2048)-row block seams must
+    read the neighbor halo blocks, not clamped garbage (serving runs 100+
+    blocks; T=8192 here exercises 3 interior seams)."""
     B, T, R, A = 1, 8192, 64, 80
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((B, T, R)).astype(np.float32))

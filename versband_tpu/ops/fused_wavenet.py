@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 D_HALO = 512  # max supported dilation; halo side-block row count
+BLOCK_T = 2048  # default T block: largest fitting v5e scoped VMEM (see above)
 
 
 def _layer_kernel(prevh_ref, cur_ref, nxth_ref, c_ref, skip_ref,
@@ -88,7 +89,7 @@ def fused_wavenet_layer(
     w_gate: Array, b_gate: Array, w_caux: Array,
     w_skip: Array, b_skip: Array, w_out: Array, b_out: Array,
     dilation: int, t_real: int,
-    block_t: int = 2048, interpret: Optional[bool] = None,
+    block_t: int = BLOCK_T, interpret: Optional[bool] = None,
 ) -> Optional[Tuple[Array, Array]]:
     """One fused residual layer. Returns ``(x', skip')`` or None when the
     shapes don't fit the kernel's constraints (caller falls back).

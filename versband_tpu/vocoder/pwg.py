@@ -244,9 +244,9 @@ class ParallelWaveGANGenerator(fnn.Module):
                  and 2 ** (layers_per_stack - 1) <= 512)
         t_real = h.shape[1]
         if fused:
-            from versband_tpu.ops.fused_wavenet import D_HALO
+            from versband_tpu.ops.fused_wavenet import BLOCK_T, D_HALO
 
-            blk = 2048
+            blk = BLOCK_T
             t_pad = max(-(-t_real // blk) * blk, 2 * D_HALO)
             h = jnp.pad(h, ((0, 0), (0, t_pad - t_real), (0, 0)))
             c = jnp.pad(c, ((0, 0), (0, t_pad - t_real), (0, 0)))
