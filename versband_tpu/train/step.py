@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
@@ -19,6 +20,25 @@ from versband_tpu.models.cfm import CFM
 from versband_tpu.parallel.sharding import (
     batch_shardings, param_shardings, replicated)
 from versband_tpu.train.state import TrainState
+
+
+def _decompress_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Widen wire-compressed inputs back to compute dtypes.
+
+    The trainer may ship mels as fp16 and midi/beats ids as int16 to halve
+    host->device bytes (``CFMTrainer(transfer_dtype=...)``); XLA fuses these
+    converts into the first consumers, so the cast is free on fp32 input and
+    a pure bandwidth win on fp16. No-op for uncompressed batches.
+    """
+    def widen(v):
+        if hasattr(v, "dtype"):
+            if v.dtype == jnp.float16:
+                return v.astype(jnp.float32)
+            if v.dtype == jnp.int16:
+                return v.astype(jnp.int32)
+        return v
+
+    return {k: widen(v) for k, v in batch.items()}
 
 
 def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None,
@@ -47,6 +67,7 @@ def make_cfm_train_step(cfm: CFM, vae_params: Optional[Any] = None,
     def step_fn(state: TrainState, batch: Dict[str, Any], key: jax.Array,
                 vae_params: Optional[Any] = None):
         vae_params = vae_params if vae_params is not None else bound_vae_params
+        batch = _decompress_batch(batch)
         key = jax.random.fold_in(key, state.step)
         k_enc, k_t, k_loss = jax.random.split(key, 3)
 

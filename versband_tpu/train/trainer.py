@@ -77,12 +77,20 @@ class BaseTrainer:
         self._sig_save = False
         try:
             signal.signal(signal.SIGUSR1, self._on_sigusr1)
+            signal.signal(signal.SIGUSR2, self._on_sigusr2)
         except (ValueError, OSError):
             pass  # non-main thread
 
     def _on_sigusr1(self, *_):
         # SIGUSR1 -> checkpoint at the next batch boundary (main.py:835-852)
         self._sig_save = True
+
+    @staticmethod
+    def _on_sigusr2(*_):
+        # SIGUSR2 -> drop into a debugger on the spot (main.py:849-852)
+        import pdb
+
+        pdb.set_trace()
 
     def log_metrics(self, metrics: Dict[str, Any], step: int, prefix: str = ""):
         # val/test metrics arrive at arbitrary steps (epoch boundaries) and
@@ -278,7 +286,9 @@ class CFMTrainer(BaseTrainer):
     def __init__(self, cfm, vae_params, cond_stage, learning_rate: float,
                  grad_clip: float = 1.0, use_ema: bool = False,
                  scheduler=None, mesh=None, accumulate_grad_batches: int = 1,
-                 steps_per_call: int = 1, **kw):
+                 steps_per_call: int = 1, prefetch_groups: int = 1,
+                 transfer_dtype: Optional[str] = None,
+                 dedupe_captions: bool = True, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adamw
         from versband_tpu.train.step import (make_cfm_multi_step,
@@ -319,6 +329,23 @@ class CFMTrainer(BaseTrainer):
         self._place_state = self._place_batch = None
         self._val_step = None
         self.state: Optional[TrainState] = None
+        # input pipeline: while the device executes step/group k, ONE worker
+        # thread assembles + transfers k+1 (caption encode, np.stack, h2d —
+        # all RPC-wait-heavy through a tunneled device, so it overlaps real
+        # device compute even on a 1-core host). Mesh runs keep the inline
+        # path: shard placement is set up lazily inside dispatch.
+        self._prefetch = max(0, int(prefetch_groups)) if mesh is None else 0
+        self._xfer_pool = None
+        self._inflight: list = []
+        self._fed_steps = 0
+        # 'float16' halves mel h2d bytes (ids go int16); the step widens them
+        # back on device (train/step.py::_decompress_batch). None = exact.
+        assert transfer_dtype in (None, "float16"), transfer_dtype
+        self.transfer_dtype = transfer_dtype
+        # encode only the UNIQUE captions of a fused group (CFG dropout and
+        # finite template pools make duplicates common) and gather rows back
+        # on device — same values, fewer frozen-tower rows
+        self.dedupe_captions = bool(dedupe_captions)
 
     def _encode_captions(self, batch):
         captions = batch["caption"]["caption"]
@@ -327,19 +354,65 @@ class CFMTrainer(BaseTrainer):
         # stays a device array: np.asarray here would force a blocking
         # device->host->device round-trip per batch (an extra RPC through
         # the axon tunnel on top of the transfer)
-        return self.cond_stage({"caption": captions,
-                                "acoustic": {}})["caption"]
+        return self._encode_caption_list(list(captions))
+
+    def _encode_caption_list(self, caps):
+        """Frozen-tower encode with duplicate collapsing.
+
+        The frozen tower is row-independent (all-ones attention mask,
+        max_length padding), so encoding each distinct string once and
+        gathering rows back by index returns the same embeddings while
+        cutting tower rows by the duplicate rate. Unique counts are padded
+        to a power-of-two bucket so the jitted tower compiles O(log B)
+        shapes, not one per duplicate pattern.
+        """
+        n = len(caps)
+        if self.dedupe_captions and n > 1:
+            idx_of: Dict[str, int] = {}
+            inv = np.empty((n,), np.int32)
+            uniq = []
+            for i, c in enumerate(caps):
+                j = idx_of.setdefault(c, len(uniq))
+                if j == len(uniq):
+                    uniq.append(c)
+                inv[i] = j
+            bucket = 1
+            while bucket < len(uniq):
+                bucket *= 2
+            if bucket < n:
+                uniq = uniq + [uniq[-1]] * (bucket - len(uniq))
+                enc = self.cond_stage({"caption": uniq,
+                                       "acoustic": {}})["caption"]
+                return jnp.asarray(enc)[jnp.asarray(inv)]
+        return self.cond_stage({"caption": caps, "acoustic": {}})["caption"]
+
+    def _compress(self, a):
+        """Wire compression for h2d (see transfer_dtype)."""
+        if self.transfer_dtype is None:
+            return a
+        a = np.asarray(a)
+        if a.dtype == np.float32:
+            return a.astype(np.float16)
+        if a.dtype in (np.int32, np.int64):
+            return a.astype(np.int16)  # midi vocab 130, beats 3: both fit
+        return a
 
     def _device_batch(self, batch) -> Dict[str, Any]:
         return {
-            "image": jnp.asarray(batch["image"]),
+            "image": jnp.asarray(self._compress(batch["image"])),
             "caption": jnp.asarray(self._encode_captions(batch)),
-            "midi": jnp.asarray(batch["caption"]["acoustic"]["midi"]),
-            "beats": jnp.asarray(batch["caption"]["acoustic"]["beats"]),
+            "midi": jnp.asarray(self._compress(
+                batch["caption"]["acoustic"]["midi"])),
+            "beats": jnp.asarray(self._compress(
+                batch["caption"]["acoustic"]["beats"])),
         }
 
     def init_state(self, example_batch: Dict[str, Any]):
-        db = self._device_batch(example_batch)
+        from versband_tpu.train.step import _decompress_batch
+
+        # widen any wire-compressed arrays: scale_by_std and the init trace
+        # must see compute dtypes
+        db = _decompress_batch(self._device_batch(example_batch))
         B, _, T = db["image"].shape
         # downsample factor from the VAE config (setup() attrs aren't visible
         # outside apply on flax modules)
@@ -376,6 +449,12 @@ class CFMTrainer(BaseTrainer):
             val_loader = datamodule.val_dataloader()
         except Exception:
             val_loader = None
+        self._fed_steps = self.global_step
+        if self._prefetch and self._xfer_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._xfer_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="cfm-xfer")
         try:
             for epoch in range(self.max_epochs):
                 self._dispatch("on_epoch_start", epoch)
@@ -394,34 +473,37 @@ class CFMTrainer(BaseTrainer):
                                 self.state = restored
                                 meta = self.ckpt.last_meta()
                                 self.global_step = int(meta.get("step", 0))
+                                self._fed_steps = self.global_step
                                 if "scale_factor" in meta:
                                     # override the value init_state recomputed
                                     # from THIS run's first batch
                                     self.cfm.scale_factor = float(
                                         meta["scale_factor"])
                                 print(f"Resumed at step {self.global_step}")
-                    if self.steps_per_call > 1:
-                        # flush early if any padded shape changed (stacking
-                        # needs uniform shapes across the group) — captions
-                        # can vary in length independently of the mel bucket
-                        if (self._group and self._group_sig(self._group[0])
-                                != self._group_sig(batch)):
-                            self._flush_group()
-                        self._group.append(batch)
-                        # never fuse past max_steps: flush a short group at
-                        # the boundary so global_step lands exactly on it
-                        if (len(self._group) >= self.steps_per_call
-                                or self.global_step + len(self._group)
-                                >= self.max_steps):
-                            self._flush_group()
-                    else:
-                        self._run_single(batch)
+                    # flush early if any padded shape changed (stacking
+                    # needs uniform shapes across the group) — captions
+                    # can vary in length independently of the mel bucket
+                    if (self.steps_per_call > 1 and self._group
+                            and self._group_sig(self._group[0])
+                            != self._group_sig(batch)):
+                        self._flush_group()
+                    self._group.append(batch)
+                    # never fuse past max_steps: flush a short group at
+                    # the boundary so global_step lands exactly on it
+                    if (len(self._group) >= self.steps_per_call
+                            or self._fed_steps + len(self._group)
+                            >= self.max_steps):
+                        self._flush_group()
+                        if self._fed_steps >= self.max_steps:
+                            self._drain()
                     if self._sig_save:
+                        self._drain()
                         self.save_checkpoint("last")
                         self._sig_save = False
                     if self.global_step >= self.max_steps:
                         break
                 self._flush_group()
+                self._drain()
                 self._dispatch("on_epoch_end", epoch)
                 if val_loader and (epoch + 1) % self.val_every_n_epochs == 0:
                     # Lightning check_val_every_n_epoch semantics:
@@ -434,9 +516,16 @@ class CFMTrainer(BaseTrainer):
         except KeyboardInterrupt:
             self._dispatch("on_exception")
             raise
+        finally:
+            if self._xfer_pool is not None:
+                self._xfer_pool.shutdown(wait=False, cancel_futures=True)
+                self._xfer_pool = None
+                self._inflight.clear()
 
     def _run_single(self, batch):
-        db = self._device_batch(batch)
+        self._dispatch_single(self._device_batch(batch), batch)
+
+    def _dispatch_single(self, db, batch):
         if self.mesh is not None and self.train_step is None:
             from versband_tpu.train.step import shard_train_step
 
@@ -466,34 +555,61 @@ class CFMTrainer(BaseTrainer):
                 np.asarray(batch["caption"]["acoustic"]["midi"]).shape)
 
     def _flush_group(self):
-        """Dispatch the buffered K batches as one fused multi-step program."""
+        """Feed the buffered batches to the pipeline (or dispatch inline)."""
         group, self._group = self._group, []
         if not group:
             return
+        self._fed_steps += len(group)
         if len(group) == 1:
-            self._run_single(group[0])
+            assemble = (lambda: self._device_batch(group[0]))
+            dispatch = (lambda db: self._dispatch_single(db, group[0]))
+        else:
+            assemble = (lambda: self._assemble_group(group))
+            dispatch = (lambda db: self._dispatch_group(db, group))
+        if self._xfer_pool is None:
+            dispatch(assemble())
             return
+        self._inflight.append((self._xfer_pool.submit(assemble), dispatch))
+        while len(self._inflight) > self._prefetch:
+            self._dispatch_next()
+
+    def _dispatch_next(self):
+        fut, dispatch = self._inflight.pop(0)
+        dispatch(fut.result())
+
+    def _drain(self):
+        """Dispatch every in-flight assembled batch (global_step catches up
+        to _fed_steps) — called at epoch/max_steps/checkpoint boundaries."""
+        while self._inflight:
+            self._dispatch_next()
+
+    def _assemble_group(self, group):
+        """Host->device assembly of one fused K-step batch (runs on the
+        transfer thread when pipelining: caption encode + stack + h2d all
+        overlap the previous fused program's device execution)."""
         K = len(group)
         if self.cond_stage is None:
-            caption = jnp.asarray(np.stack(
-                [np.asarray(b["caption"]["caption"]) for b in group]))
+            caption = jnp.asarray(self._compress(np.stack(
+                [np.asarray(b["caption"]["caption"]) for b in group])))
         else:
-            # ONE text-encoder program for all K batches
+            # ONE text-encoder program for all K batches (deduped)
             caps = [c for b in group for c in list(b["caption"]["caption"])]
-            enc = self.cond_stage({"caption": caps, "acoustic": {}})["caption"]
-            enc = jnp.asarray(enc)
+            enc = jnp.asarray(self._encode_caption_list(caps))
             caption = enc.reshape((K, -1) + enc.shape[1:])
-        db = {
-            "image": jnp.asarray(np.stack([b["image"] for b in group])),
+        return {
+            "image": jnp.asarray(self._compress(
+                np.stack([b["image"] for b in group]))),
             "caption": caption,
-            "midi": jnp.asarray(np.stack(
-                [b["caption"]["acoustic"]["midi"] for b in group])),
-            "beats": jnp.asarray(np.stack(
-                [b["caption"]["acoustic"]["beats"] for b in group])),
+            "midi": jnp.asarray(self._compress(np.stack(
+                [b["caption"]["acoustic"]["midi"] for b in group]))),
+            "beats": jnp.asarray(self._compress(np.stack(
+                [b["caption"]["acoustic"]["beats"] for b in group]))),
         }
+
+    def _dispatch_group(self, db, group):
         self.key, k = jax.random.split(self.key)
         self.state, ms = self._multi_step(self.state, db, k, self.vae_params)
-        self.global_step += K
+        self.global_step += len(group)
         last = {kk: vv[-1] for kk, vv in ms.items()}
         self.log_metrics(last, self.global_step, "train/")
         # callbacks fire once per fused program with the last batch/metrics
@@ -505,7 +621,11 @@ class CFMTrainer(BaseTrainer):
         (``ddpm_audio.py:747-863`` subset: gt mel + CFM sample decoded)."""
         if self.state is None:
             return {}
-        db = self._device_batch(batch)
+        from versband_tpu.train.step import _decompress_batch
+
+        # sampling/logging consumes the arrays directly (no train step to
+        # widen them): undo any wire compression first
+        db = _decompress_batch(self._device_batch(batch))
         self.key, k = jax.random.split(self.key)
         cond = {"caption": db["caption"],
                 "acoustic": {"midi": db["midi"], "beats": db["beats"]}}
@@ -576,7 +696,10 @@ class CFMTrainer(BaseTrainer):
                 self.time_bucket) | {"caption": vb["caption"]}
             vb["caption"]["acoustic"]["midi"] = vb["midi"]
             vb["caption"]["acoustic"]["beats"] = vb["beats"]
-            db = self._device_batch(vb)
+            from versband_tpu.train.step import _decompress_batch
+
+            # _vstep consumes the arrays directly: widen any wire compression
+            db = _decompress_batch(self._device_batch(vb))
             cond = {"caption": db["caption"],
                     "acoustic": {"midi": db["midi"], "beats": db["beats"]}}
             k = jax.random.fold_in(jax.random.PRNGKey(17), i)
