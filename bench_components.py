@@ -203,11 +203,133 @@ def bench_train_step():
                       "vs_baseline": round(1000.0 / ms_per, 3)}))
 
 
+def bench_vae_gan_step():
+    """Stage-1 VAE-GAN step at shipped size (``ae_accomp.yaml``: bs 20,
+    crop 624, ch 384): BOTH optimizer phases in one program — generator with
+    the adaptive d_weight (two scoped grads wrt decoder.conv_out) and
+    discriminator with the R1 double-grad. disc_start=0 puts the bench in the
+    post-warm-up regime (all adversarial terms live), the expensive steady
+    state of the reference run (``contperceptual.py:125-149``)."""
+    from versband_tpu.models.autoencoder import AutoencoderKL
+    from versband_tpu.train.gan_losses import VAEGANLoss
+    from versband_tpu.train.state import TrainState, make_adam
+    from versband_tpu.train.vae_step import make_vae_train_step
+
+    B, T = 20, 624
+    vae = AutoencoderKL(embed_dim=20, ddconfig=dict(
+        double_z=True, in_channels=80, out_ch=80, z_channels=20, kernel_size=5,
+        ch=384, ch_mult=[1, 2, 4], num_res_blocks=2, attn_layers=[3],
+        down_layers=[0], dropout=0.0))
+    loss = VAEGANLoss(disc_start=0, kl_weight=1e-6, disc_weight=0.5,
+                      disc_in_channels=1, disc_loss="mse", disc_factor=2.0,
+                      r1_reg_weight=3.0)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (B, 80, T)) * 0.5
+    vae_params = jax.jit(vae.init)(
+        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
+        mel)
+    import functools
+
+    # jit EVERY init: eager dispatch through the tunnel is ~100x slower
+    loss_params = jax.jit(functools.partial(loss.init, method="disc_forward"))(
+        jax.random.PRNGKey(3), mel)
+    tx = make_adam(4.5e-6, betas=(0.5, 0.9))
+    gen_state = TrainState.create(vae_params, tx)
+    disc_state = TrainState.create(loss_params, tx)
+    step_fn = make_vae_train_step(vae, loss)
+
+    N = 3
+
+    @jax.jit
+    def run(gen_state, disc_state, mel, base):
+        def body(carry, i):
+            gs, ds, _ = carry
+            gs, ds, m = step_fn(gs, ds, {"image": mel},
+                                jax.random.fold_in(base, i))
+            return (gs, ds, m["aeloss"]), None
+        (gs, ds, loss_v), _ = jax.lax.scan(
+            body, (gen_state, disc_state, 0.0), jnp.arange(N))
+        return loss_v
+
+    floor = _rpc_floor(jnp.zeros((N, 8, 8)), N)
+    float(run(gen_state, disc_state, mel, jax.random.PRNGKey(8)))
+    t0 = time.perf_counter()
+    float(run(gen_state, disc_state, mel, jax.random.PRNGKey(9)))
+    ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
+    print(json.dumps({"metric": "vae_gan_train_step_ms",
+                      "value": round(ms_per, 1), "unit": "ms/step_bs20",
+                      "vs_baseline": round(1000.0 / ms_per, 3)}))
+
+
+def bench_hifigan_gan_step():
+    """HiFi-GAN GAN step (MPD periods 2-11 + MSD, feature-matching + mel L1,
+    ``vocoder/hifigan/modules/hifigan.py:198-382`` recipe) at the standard
+    training geometry: bs 16, 8192-sample segments (25.6 mel frames -> 26)."""
+    from versband_tpu.dsp.mel import MelSpectrogram
+    from versband_tpu.train.state import TrainState, make_adamw
+    from versband_tpu.train.vocoder_step import make_hifigan_train_step
+    from versband_tpu.vocoder.discriminators import (
+        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from versband_tpu.vocoder.hifigan import HifiGanGenerator
+
+    B, T_mel = 16, 26
+    gen = HifiGanGenerator()  # shipped 320x geometry, weight-norm training
+    mpd = MultiPeriodDiscriminator()  # periods (2, 3, 5, 7, 11)
+    msd = MultiScaleDiscriminator()
+    mel = jax.random.normal(jax.random.PRNGKey(0), (B, 80, T_mel))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (B, T_mel * HOP)) * 0.1
+    y = wav[:, None, :]
+    gp = jax.jit(gen.init)(jax.random.PRNGKey(2), mel)
+    dp = {"mpd": jax.jit(mpd.init)(jax.random.PRNGKey(3), y, y),
+          "msd": jax.jit(msd.init)(jax.random.PRNGKey(4), y, y)}
+    gen_state = TrainState.create(gp, make_adamw(2e-4))
+    disc_state = TrainState.create(dp, make_adamw(2e-4))
+    melnet = MelSpectrogram()
+
+    def mel_fn(w):
+        return melnet._forward(w)  # [B, T] -> [B, 80, frames]
+
+    step_fn = make_hifigan_train_step(gen, mpd, msd, mel_fn)
+
+    N = 3
+
+    @jax.jit
+    def run(gen_state, disc_state, batch):
+        def body(carry, _):
+            gs, ds, _ = carry
+            gs, ds, m = step_fn(gs, ds, batch)
+            return (gs, ds, m["gen_loss"]), None
+        (gs, ds, loss_v), _ = jax.lax.scan(
+            body, (gen_state, disc_state, 0.0), jnp.arange(N))
+        return loss_v
+
+    floor = _rpc_floor(jnp.zeros((N, 8, 8)), N)
+    float(run(gen_state, disc_state, {"mel": mel, "wav": wav}))
+    batch2 = {"mel": jax.block_until_ready(mel * 1.0001), "wav": wav}
+    t0 = time.perf_counter()
+    float(run(gen_state, disc_state, batch2))
+    ms_per = ((time.perf_counter() - t0) * 1e3 - floor) / N
+    print(json.dumps({"metric": "hifigan_gan_train_step_ms",
+                      "value": round(ms_per, 1), "unit": "ms/step_bs16",
+                      "vs_baseline": round(1000.0 / ms_per, 3)}))
+
+
+BENCHES = {
+    "mel": bench_mel,
+    "vocoder": bench_vocoder,
+    "vae": bench_vae_roundtrip,
+    "train": bench_train_step,
+    "vae_gan": bench_vae_gan_step,
+    "hifigan_gan": bench_hifigan_gan_step,
+}
+
+
 def main():
-    bench_mel()
-    bench_vocoder()
-    bench_vae_roundtrip()
-    bench_train_step()
+    import os
+
+    only = os.environ.get("BENCH_ONLY")
+    names = only.split(",") if only else list(BENCHES)
+    for n in names:
+        BENCHES[n]()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,187 @@
+"""End-to-end CLI regression: the public entry points, main() to artifacts.
+
+Exercises the product surface the reference exposes (``main.py:599-888``,
+``scripts/test_final.py:349-465``) at toy dims over a synthetic dataset:
+
+  stage 1  cli.train -b ae_accomp.yaml -t       -> VAE checkpoint on disk
+  stage 2  cli.train -b vocal2music.yaml -t     -> CFM checkpoint + TB + cfg
+  resume   cli.train -r <logdir> -t             -> continues from saved step
+  infer    cli.generate --config <archived cfg> -> wavs + clap.csv rows
+
+Everything rides the SHIPPED YAMLs shrunk by dotlist overrides — the same
+mechanism an operator uses — so argparse/merge/logdir/resume plumbing is all
+on the hook. Marked slow: ~10 CPU compiles of tiny programs.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow
+
+N_ROWS = 320  # vocal2accomp valid_head=300: leaves 20 train rows
+N_UNIQUE = 4
+T_FRAMES = 90
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_e2e_data")
+    mels = root / "mels"
+    manifests = root / "manifests"
+    mels.mkdir()
+    manifests.mkdir()
+    rng = np.random.default_rng(0)
+    uniq = []
+    for i in range(N_UNIQUE):
+        mel = (rng.standard_normal((80, T_FRAMES)) * 0.5).astype(np.float32)
+        voc = (rng.standard_normal((80, T_FRAMES)) * 0.5).astype(np.float32)
+        mp, vp = str(mels / f"u{i}_mel.npy"), str(mels / f"u{i}_vocal_mel.npy")
+        np.save(mp, mel)
+        np.save(vp, voc)
+        uniq.append((mp, vp))
+    rows, midi_d, beats_d = [], {}, {}
+    for j in range(N_ROWS):
+        mp, vp = uniq[j % N_UNIQUE]
+        name = f"song{j}"
+        midi_d[name] = rng.integers(0, 128, T_FRAMES).astype(np.int64)
+        beats_d[name] = rng.integers(0, 2, T_FRAMES).astype(np.int64)
+        rows.append(dict(name=name, dataset="e2e", mel_path=mp,
+                         vocal_mel_path=vp, duration=T_FRAMES / 75.0,
+                         caption="piano<psep>a soft piano accompaniment",
+                         key="C major", key_confidence=0.9, avg_pitch=66.0,
+                         tempo=100.0, tempo_confidence=0.9,
+                         emotion="['calm']", wav_len=T_FRAMES / 75.0,
+                         audio_path=""))
+    pd.DataFrame(rows).to_csv(manifests / "music.tsv", sep="\t", index=False)
+    np.save(root / "midi.npy", midi_d, allow_pickle=True)
+    np.save(root / "beats.npy", beats_d, allow_pickle=True)
+    return root
+
+
+TINY_VAE = [
+    "model.params.embed_dim=4",
+    "model.params.ddconfig.z_channels=4",
+    "model.params.ddconfig.ch=8",
+    "model.params.ddconfig.ch_mult=[1, 2]",
+    "model.params.ddconfig.num_res_blocks=1",
+    "model.params.ddconfig.attn_layers=[]",
+]
+
+
+def _stage1(dataset_dir, logs):
+    from versband_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "-b", "configs/ae_accomp.yaml", "-t", "-n", "ae", "-l", str(logs),
+        "--devices", "1", "--max_steps", "2", "--max_epochs", "1", "-s", "7",
+        f"data.params.spec_dir_path={dataset_dir}/manifests",
+        "data.params.batch_size=4", "data.params.num_workers=0",
+        "data.params.spec_len=64", "data.params.spec_crop_len=64",
+        # toy data is white noise: start the disc immediately so BOTH GAN
+        # phases execute inside the 2 steps
+        "model.params.lossconfig.params.disc_start=0",
+        *TINY_VAE])
+    assert rc == 0
+    (run_dir,) = glob.glob(f"{logs}/*_ae")
+    return run_dir
+
+
+def _stage2(dataset_dir, logs, vae_ckpt, extra=()):
+    from versband_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "-b", "configs/vocal2music.yaml", "-t", "--no-test", "-n", "v2m",
+        "-l", str(logs), "--devices", "1", "--max_steps", "2",
+        "--max_epochs", "1", "--steps_per_call", "2", "-s", "7",
+        f"data.params.main_spec_dir_path={dataset_dir}/manifests",
+        f"data.params.other_condition={dataset_dir}/midi.npy",
+        "data.params.batch_size=4", "data.params.num_workers=0",
+        "data.params.spec_crop_len=64",
+        "model.params.mel_dim=4",
+        "model.params.unet_config.params.in_channels=4",
+        "model.params.unet_config.params.ori_dim=16",
+        "model.params.unet_config.params.context_dim=16",
+        "model.params.unet_config.params.hidden_size=16",
+        "model.params.unet_config.params.num_heads=2",
+        "model.params.unet_config.params.depth=1",
+        "model.params.unet_config.params.max_len=64",
+        "model.params.unet_config.params.num_experts=2",
+        "model.params.unet_config.params.multiple_of=8",
+        "model.params.unet_config.params.use_flash=false",
+        *(f"model.params.first_stage_config.params.{o}"
+          for o in ("embed_dim=4", f"ckpt_path={vae_ckpt}",
+                    "ddconfig.z_channels=4", "ddconfig.ch=8",
+                    "ddconfig.ch_mult=[1, 2]", "ddconfig.num_res_blocks=1",
+                    "ddconfig.attn_layers=[]")),
+        "model.params.cond_stage_config.params.max_length=16",
+        "model.params.cond_stage_config.params.fallback_config="
+        "{d_model: 16, d_ff: 32, d_kv: 8, num_heads: 2, num_layers: 1}",
+        *extra])
+    assert rc == 0
+
+
+def test_cli_train_resume_generate(dataset_dir, tmp_path):
+    logs = tmp_path / "logs"
+
+    # ---- stage 1: VAE-GAN --------------------------------------------------
+    run1 = _stage1(dataset_dir, logs)
+    vae_ckpt = os.path.join(run1, "checkpoints", "last")
+    assert os.path.isdir(vae_ckpt), "stage-1 last checkpoint missing"
+    meta1 = json.load(open(os.path.join(run1, "checkpoints",
+                                        "last_step.json")))
+    assert meta1["step"] == 2
+    assert glob.glob(os.path.join(run1, "configs", "*.yaml")), \
+        "config not archived"
+    assert glob.glob(os.path.join(run1, "tb", "events.*")), \
+        "no TensorBoard events written"
+
+    # ---- stage 2: CFM over the frozen stage-1 VAE --------------------------
+    _stage2(dataset_dir, logs, vae_ckpt)
+    (run2,) = glob.glob(f"{logs}/*_v2m")
+    ckpt2 = os.path.join(run2, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt2, "last"))
+    meta2 = json.load(open(os.path.join(ckpt2, "last_step.json")))
+    assert meta2["step"] == 2
+    # scale_by_std: the latent scale must survive beside the checkpoint
+    # (generate decodes garbage amplitudes without it)
+    assert meta2.get("scale_factor", 1.0) != 1.0
+
+    # ---- resume: -r <logdir> continues where the run stopped ---------------
+    from versband_tpu.cli.train import main as train_main
+
+    rc = train_main(["-r", run2, "-t", "--no-test", "--devices", "1",
+                     "--max_steps", "4", "--max_epochs", "2"])
+    assert rc == 0
+    meta2b = json.load(open(os.path.join(ckpt2, "last_step.json")))
+    assert meta2b["step"] == 4, "resume did not continue from step 2"
+
+    # ---- generate: archived config + trained ckpt -> wavs + clap.csv -------
+    from versband_tpu.cli.generate import main as gen_main
+
+    cfg_path = sorted(glob.glob(os.path.join(run2, "configs",
+                                             "*-project.yaml")))[0]
+    out = tmp_path / "gen_out"
+    rc = gen_main([
+        "--config", cfg_path, "--ckpt", os.path.join(ckpt2, "last"),
+        "--vae_ckpt", vae_ckpt, "--save_dir", str(out),
+        "--scales", "1-2", "--num_items", "2", "--n_samples", "1",
+        "--seed", "3"])
+    assert rc == 0
+    wavs = glob.glob(str(out / "**" / "*.wav"), recursive=True)
+    # 2 items x 2 scales x 1 sample
+    assert len(wavs) == 4, f"expected 4 wavs, found {wavs}"
+    from scipy.io import wavfile
+
+    sr, w = wavfile.read(wavs[0])
+    assert sr == 24000 and w.ndim == 1 and len(w) > 0
+    csv = pd.read_csv(out / "clap.csv", sep="\t") \
+        if os.path.exists(out / "clap.csv") else None
+    if csv is None:  # comma-separated fallback
+        csv = pd.read_csv(glob.glob(str(out / "*.csv"))[0])
+    assert len(csv) == 4
+    assert set(csv.columns) >= {"audio_path", "caption", "name"}

@@ -14,6 +14,10 @@ This de-risks the only SURVEY §2.10 row without executable evidence
 (multi-process DP); everything else in the suite is single-process.
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.multihost]
+
 import json
 import os
 import socket

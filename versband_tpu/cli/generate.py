@@ -51,6 +51,13 @@ def get_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
+    p.add_argument("--nproc", type=int, default=1,
+                   help="self-spawn N rank-strided workers and merge their "
+                        "clap CSVs (the mp.spawn equivalent, "
+                        "test_final.py:467-477). On a single-chip host pass "
+                        "--platform cpu so children don't contend for the "
+                        "TPU; across hosts prefer one command per host with "
+                        "explicit --rank/--world.")
     p.add_argument("--platform", default=None)
     p.add_argument("--pad_to", type=int, default=0,
                    help="pad conditions to a fixed mel length (frames): one "
@@ -157,7 +164,30 @@ def build_vocoder(name: str, ckpt: str = None):
 
 
 def main(argv: List[str] = None) -> int:
+    import sys as _sys
+
     opt = get_parser().parse_args(argv)
+    if opt.nproc > 1:
+        import glob as _glob
+
+        from versband_tpu.utils.fanout import spawn_ranks
+
+        rc = spawn_ranks("versband_tpu.cli.generate",
+                         argv if argv is not None else _sys.argv[1:],
+                         opt.nproc)
+        if rc == 0:  # merge the per-rank CSVs into the eval manifest
+            import pandas as pd
+
+            parts = sorted(_glob.glob(
+                os.path.join(opt.save_dir, "clap_rank*.csv")))
+            if parts:
+                merged = pd.concat([pd.read_csv(p, sep="\t") for p in parts],
+                                   ignore_index=True)
+                merged.to_csv(os.path.join(opt.save_dir, "clap.csv"),
+                              sep="\t", index=False)
+                print(f"merged {len(parts)} rank CSVs -> clap.csv "
+                      f"({len(merged)} rows)")
+        return rc
     import jax
 
     if opt.platform:
@@ -317,7 +347,8 @@ def main(argv: List[str] = None) -> int:
                         normalize_loudness(gt_accomp, -23.0))
         print(f"[{opt.rank}] {item_idx + 1}/{len(items)} {item['name']}")
 
-    csv_path = os.path.join(opt.save_dir, "clap.csv")
+    csv_name = "clap.csv" if opt.world == 1 else f"clap_rank{opt.rank}.csv"
+    csv_path = os.path.join(opt.save_dir, csv_name)
     os.makedirs(opt.save_dir, exist_ok=True)
     pd.DataFrame.from_dict(csv_data).to_csv(csv_path, sep="\t", index=False)
     print(f"wrote {csv_path}")

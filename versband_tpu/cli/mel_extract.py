@@ -42,6 +42,10 @@ def get_parser():
                    help="clips per device batch")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
+    p.add_argument("--nproc", type=int, default=1,
+                   help="self-spawn N rank-strided workers (the mp.spawn "
+                        "equivalent, mel_spec_24k.py:325-328); CPU-bound "
+                        "decode/resample parallelizes across processes")
     p.add_argument("--platform", default=None)
     p.add_argument("--overwrite", action="store_true")
     return p
@@ -128,7 +132,15 @@ def addmel2tsv(opt) -> int:
 
 
 def main(argv=None) -> int:
+    import sys as _sys
+
     opt = get_parser().parse_args(argv)
+    if opt.nproc > 1:
+        from versband_tpu.utils.fanout import spawn_ranks
+
+        return spawn_ranks("versband_tpu.cli.mel_extract",
+                           argv if argv is not None else _sys.argv[1:],
+                           opt.nproc)
     return {"extract": extract, "drop_bad_wavs": drop_bad_wavs,
             "addmel2tsv": addmel2tsv}[opt.mode](opt)
 

@@ -57,6 +57,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="fuse K train steps into one lax.scan program "
                         "(single-chip stage 2): pays per-program dispatch "
                         "latency once per K steps")
+    p.add_argument("--prefetch_groups", type=int, default=1,
+                   help="batches/groups assembled+transferred ahead on a "
+                        "worker thread (stage 2, single-chip); 0 = inline")
+    p.add_argument("--transfer_dtype", type=str, default=None,
+                   choices=(None, "float16"),
+                   help="wire-compress host->device transfers (mels fp16, "
+                        "ids int16; widened back on device). Halves h2d "
+                        "bytes at the cost of fp16-rounding the input mels")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu); overrides the "
                         "environment plugin selection")
@@ -187,6 +195,8 @@ def main(argv: List[str] = None) -> int:
             use_ema=bool(model_cfg["params"].get("use_ema", False)),
             scheduler=scheduler, mesh=mesh,
             steps_per_call=opt.steps_per_call,
+            prefetch_groups=opt.prefetch_groups,
+            transfer_dtype=opt.transfer_dtype,
             accumulate_grad_batches=opt.accumulate_grad_batches, **common)
 
     if opt.train:

@@ -138,13 +138,34 @@ def prune_ignored(params: Any, ignore_keys=()) -> Any:
     return walk(params, "")
 
 
+def _extract_model_params(tree: Any) -> Any:
+    """Pull the model param tree out of a restored trainer checkpoint.
+
+    Trainer checkpoints hold full TrainStates — stage 1 even a
+    ``{"gen": TrainState, "disc": TrainState}`` pair — but cross-stage
+    consumers (CFM's frozen ``first_stage_config.params.ckpt_path``,
+    ``cli.generate --ckpt``) want only the model params, mirroring the
+    reference's ``state_dict`` extraction (``ddpm.py:184-188``)."""
+    if isinstance(tree, dict):
+        if "gen" in tree and "disc" in tree:
+            return _extract_model_params(tree["gen"])
+        if "params" in tree and ("opt_state" in tree or "step" in tree):
+            return tree["params"]
+    return tree
+
+
 def load_model_checkpoint(params: Any, path: str, ignore_keys=(),
                           only_model_key: Optional[str] = None) -> Any:
     """Partial restore from an npz or orbax dir into an existing param tree,
     with shape-mismatch pruning (``ddpm.py:184-200`` semantics)."""
     if os.path.isdir(path):
         ckptr = ocp.StandardCheckpointer()
-        loaded = ckptr.restore(path, target=jax.device_get(params))
+        try:
+            loaded = ckptr.restore(path, target=jax.device_get(params))
+        except Exception:
+            # checkpoint tree isn't the bare param tree (a trainer's
+            # TrainState / gen+disc pair): raw-restore and extract
+            loaded = _extract_model_params(ckptr.restore(path))
     else:
         loaded = load_npz_params(path)
     loaded = prune_ignored(loaded, ignore_keys)
