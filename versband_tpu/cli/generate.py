@@ -172,14 +172,19 @@ def main(argv: List[str] = None) -> int:
 
         from versband_tpu.utils.fanout import spawn_ranks
 
+        # stale rank CSVs from a prior (possibly larger-nproc or failed) run
+        # would otherwise be concatenated into clap.csv below
+        for stale in _glob.glob(os.path.join(opt.save_dir, "clap_rank*.csv")):
+            os.remove(stale)
         rc = spawn_ranks("versband_tpu.cli.generate",
                          argv if argv is not None else _sys.argv[1:],
                          opt.nproc)
         if rc == 0:  # merge the per-rank CSVs into the eval manifest
             import pandas as pd
 
-            parts = sorted(_glob.glob(
-                os.path.join(opt.save_dir, "clap_rank*.csv")))
+            parts = [p for p in
+                     (os.path.join(opt.save_dir, f"clap_rank{r}.csv")
+                      for r in range(opt.nproc)) if os.path.exists(p)]
             if parts:
                 merged = pd.concat([pd.read_csv(p, sep="\t") for p in parts],
                                    ignore_index=True)

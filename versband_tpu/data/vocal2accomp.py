@@ -21,6 +21,8 @@ Randomness is a per-dataset seeded stream, thread-local per loader worker
 from __future__ import annotations
 
 import math
+import os
+import threading
 from typing import Optional
 
 import numpy as np
@@ -69,6 +71,7 @@ class JoinManifestSpecs:
         self._rows = self.dataset.to_dict("records")
         self._mmap_cache: dict = {}
         self._mmap_cap = 512  # bounds open fds on huge manifests
+        self._mmap_lock = threading.Lock()  # dataset is loader-thread-shared
         self._emotion_cache: dict = {}
 
         self.midi_dict, self.beats_dict = {}, {}
@@ -119,9 +122,16 @@ class JoinManifestSpecs:
         mm = self._mmap_cache.get(path)
         if mm is None:
             mm = np.load(path, mmap_mode="r")
-            if len(self._mmap_cache) >= self._mmap_cap:
-                self._mmap_cache.pop(next(iter(self._mmap_cache)))
-            self._mmap_cache[path] = mm
+            if os.path.getsize(path) < mm.offset + mm.nbytes:
+                # truncated on disk: touching the memmap would SIGBUS the
+                # loader thread uncatchably — full read raises a catchable
+                # error (or returns the data if only the header over-claims)
+                return np.load(path)
+            with self._mmap_lock:  # evict+insert race: two threads popping
+                if len(self._mmap_cache) >= self._mmap_cap:
+                    first = next(iter(self._mmap_cache), None)
+                    self._mmap_cache.pop(first, None)
+                self._mmap_cache[path] = mm
         return mm
 
     @staticmethod

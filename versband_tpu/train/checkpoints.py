@@ -154,6 +154,20 @@ def _extract_model_params(tree: Any) -> Any:
     return tree
 
 
+def _count_matching_leaves(params: Any, loaded: Any) -> int:
+    """Number of leaves in ``params`` that ``loaded`` would actually
+    overwrite (same path, same shape) under ``merge_matching``."""
+    if isinstance(params, dict):
+        if not isinstance(loaded, dict):
+            return 0
+        return sum(_count_matching_leaves(v, loaded[k])
+                   for k, v in params.items() if k in loaded)
+    try:
+        return int(tuple(np.shape(loaded)) == tuple(np.shape(params)))
+    except Exception:
+        return 0
+
+
 def load_model_checkpoint(params: Any, path: str, ignore_keys=(),
                           only_model_key: Optional[str] = None) -> Any:
     """Partial restore from an npz or orbax dir into an existing param tree,
@@ -164,8 +178,14 @@ def load_model_checkpoint(params: Any, path: str, ignore_keys=(),
             loaded = ckptr.restore(path, target=jax.device_get(params))
         except Exception:
             # checkpoint tree isn't the bare param tree (a trainer's
-            # TrainState / gen+disc pair): raw-restore and extract
+            # TrainState / gen+disc pair): raw-restore and extract. A
+            # genuinely unreadable checkpoint raises here (not silently
+            # degrading into a no-op partial load).
             loaded = _extract_model_params(ckptr.restore(path))
+            if _count_matching_leaves(params, loaded) == 0:
+                raise ValueError(
+                    f"checkpoint at {path} restored but no leaf matches the "
+                    f"target tree (wrong checkpoint, or corrupt structure)")
     else:
         loaded = load_npz_params(path)
     loaded = prune_ignored(loaded, ignore_keys)
