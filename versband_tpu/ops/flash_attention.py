@@ -433,3 +433,53 @@ def _sdpa_masked(q: Array, k: Array, v: Array, kv_len: Array,
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
     out = jnp.where((kv_len > 0)[:, None, None, None], out, 0.0)
     return out.astype(q.dtype)
+
+
+def flash_attention_sharded(
+    q: Array,
+    k: Array,
+    v: Array,
+    kv_len: Optional[Array] = None,
+    mesh=None,
+    **kw,
+) -> Array:
+    """``flash_attention`` under a ``(data, model)`` mesh via ``shard_map``.
+
+    Attention is independent per (batch, head), so sharding B over ``data``
+    and H over ``model`` makes the Pallas kernel embarrassingly parallel:
+    each device runs it on its local [B/d, T, H/m, D] shard with zero
+    collectives. This is the multi-device entry XLA cannot derive on its own
+    — a pallas_call inside plain pjit is an opaque custom call, which the
+    partitioner would replicate (all-gather + full compute per device)
+    instead of slicing. Replaces the reference's per-GPU varlen flash path
+    (``flag_large_dit_moe.py:353-379``).
+
+    Axes that don't divide the mesh (H % model != 0, B % data != 0) fall
+    back to the unsharded kernel rather than fail.
+    """
+    if mesh is None:
+        return flash_attention(q, k, v, kv_len=kv_len, **kw)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from versband_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    B, _, H, _ = q.shape
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    if B % n_data or H % n_model:
+        return flash_attention(q, k, v, kv_len=kv_len, **kw)
+    if kv_len is None:
+        kv_len = jnp.full((B,), k.shape[1], jnp.int32)
+    qkv_spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    fn = shard_map(
+        lambda q, k, v, n: flash_attention(q, k, v, kv_len=n, **kw),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(DATA_AXIS)),
+        out_specs=qkv_spec,
+        # the pallas_call's out ShapeDtypeStruct carries no vma annotation,
+        # which trips shard_map's varying-axis checker; the kernel is
+        # per-(batch, head) independent so there is nothing to check
+        check_vma=False,
+    )
+    return fn(q, k, v, kv_len)
