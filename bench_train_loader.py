@@ -33,6 +33,7 @@ SYNC_EVERY = int(os.environ.get("BENCH_SYNC_EVERY", 0))  # diag: block per step
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", 1))
 TRANSFER_DTYPE = os.environ.get("BENCH_TRANSFER_DTYPE") or None  # 'float16'
 PREFETCH = int(os.environ.get("BENCH_PREFETCH", 1))  # 0 = inline assembly
+CAPTION_CACHE = int(os.environ.get("BENCH_CAPTION_CACHE", 0))  # 1 = opt-in cache
 
 
 def gen_data():
@@ -157,6 +158,7 @@ def main():
         cfm, vae_params, cfm.cond_stage, learning_rate=1e-4,
         steps_per_call=STEPS_PER_CALL, prefetch_groups=PREFETCH,
         transfer_dtype=TRANSFER_DTYPE,
+        caption_cache_dir="auto" if CAPTION_CACHE else None,
         use_ema=False, scheduler=None, mesh=None,
         logdir="/tmp/bench_train_logs", max_steps=N_STEPS, max_epochs=99,
         val_every_n_epochs=10 ** 6,  # throughput bench: keep validation out

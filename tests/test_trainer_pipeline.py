@@ -146,3 +146,51 @@ def test_caption_dedup_matches_direct_encode(tmp_path, n, pattern):
     if n == 8:
         # 3 uniques padded to the 4-bucket, +8 for the direct-encode call
         assert cs.rows == 4 + 8
+
+
+def test_caption_cache_persists_and_skips_tower(tmp_path):
+    """The frozen-tower embedding cache (VERDICT r4 item 3): repeat captions
+    never touch the tower again — in-RAM within a run, on-disk across
+    trainer instances (epochs/restarts) — and values match the direct
+    encode exactly."""
+    def mk(tag_cs):
+        cfm, vae_params = _tiny_cfm()
+        return CFMTrainer(cfm, vae_params, tag_cs, learning_rate=1e-3,
+                          logdir=str(tmp_path / "run"), max_steps=1,
+                          max_epochs=1, time_bucket=16,
+                          caption_cache_dir="auto",  # opt-in (see trainer)
+                          use_tensorboard=False, log_every_n_steps=10 ** 6)
+
+    cs = _CountingCondStage()
+    tr = mk(cs)
+    caps = ["a", "b", "a"]
+    first = np.asarray(tr._encode_caption_list(caps))
+    direct = cs(dict(caption=caps, acoustic={}))["caption"]
+    np.testing.assert_array_equal(first, direct)
+    rows0 = cs.rows
+    second = np.asarray(tr._encode_caption_list(caps))
+    assert cs.rows == rows0, "full cache hit must not run the tower"
+    np.testing.assert_array_equal(first, second)
+
+    # disk persistence: a fresh trainer on the same logdir starts warm
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "run" / "caption_cache" / "*.npy")), \
+        "embeddings were not persisted to disk"
+    cs2 = _CountingCondStage()
+    tr2 = mk(cs2)
+    third = np.asarray(tr2._encode_caption_list(caps))
+    assert cs2.rows == 0, "disk-cached captions must not re-encode"
+    np.testing.assert_array_equal(first, third)
+
+    # the DEFAULT is the plain dedup path: randomized-template datasets
+    # never warm a string-keyed cache (docs/BENCH_NOTES.md "Caption cache")
+    cfm, vae_params = _tiny_cfm()
+    cs3 = _CountingCondStage()
+    tr3 = CFMTrainer(cfm, vae_params, cs3, learning_rate=1e-3,
+                     logdir=str(tmp_path / "run2"), max_steps=1, max_epochs=1,
+                     time_bucket=16, use_tensorboard=False,
+                     log_every_n_steps=10 ** 6)
+    assert tr3._cap_cache_dir is None
+    np.testing.assert_array_equal(
+        np.asarray(tr3._encode_caption_list(caps)), first)

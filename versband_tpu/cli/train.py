@@ -65,6 +65,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="wire-compress host->device transfers (mels fp16, "
                         "ids int16; widened back on device). Halves h2d "
                         "bytes at the cost of fp16-rounding the input mels")
+    p.add_argument("--caption_cache_dir", type=str, default=None,
+                   help="persistent frozen-tower caption-embedding cache "
+                        "('auto' = <logdir>/caption_cache). OPT-IN: only "
+                        "wins when the caption set is small and fixed; "
+                        "randomized-template datasets never warm it (see "
+                        "docs/BENCH_NOTES.md)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu); overrides the "
                         "environment plugin selection")
@@ -197,6 +203,7 @@ def main(argv: List[str] = None) -> int:
             steps_per_call=opt.steps_per_call,
             prefetch_groups=opt.prefetch_groups,
             transfer_dtype=opt.transfer_dtype,
+            caption_cache_dir=opt.caption_cache_dir,
             accumulate_grad_batches=opt.accumulate_grad_batches, **common)
 
     if opt.train:

@@ -87,10 +87,23 @@ class BaseTrainer:
 
     @staticmethod
     def _on_sigusr2(*_):
-        # SIGUSR2 -> drop into a debugger on the spot (main.py:849-852)
-        import pdb
+        # SIGUSR2 -> drop into a debugger on the spot (main.py:849-852).
+        # Unattended runs have no tty — pdb would wedge on closed stdin;
+        # dump a traceback instead so the signal is still diagnostic.
+        import sys
 
-        pdb.set_trace()
+        try:
+            interactive = sys.stdin is not None and sys.stdin.isatty()
+        except (ValueError, OSError):
+            interactive = False
+        if interactive:
+            import pdb
+
+            pdb.set_trace()
+        else:
+            import traceback
+
+            traceback.print_stack()
 
     def log_metrics(self, metrics: Dict[str, Any], step: int, prefix: str = ""):
         # val/test metrics arrive at arbitrary steps (epoch boundaries) and
@@ -99,6 +112,18 @@ class BaseTrainer:
                         for k in [prefix, *metrics])
         if step % self.log_every_n_steps and not eval_call:
             return
+        if prefix == "train/" and os.environ.get("VERSBAND_LOG_HBM"):
+            # soak-run observability: HBM watermark rides the same cadence
+            # as the scalars (one memory_stats RPC per logged step, not per
+            # train step)
+            from versband_tpu.utils.profiling import device_memory_stats
+
+            stats = device_memory_stats()
+            metrics = dict(metrics)
+            for src, dst in (("peak_bytes_in_use", "hbm_peak_mib"),
+                             ("bytes_in_use", "hbm_mib")):
+                if src in stats:
+                    metrics[dst] = stats[src]
         scal = {f"{prefix}{k}": float(np.asarray(v)) for k, v in metrics.items()
                 if np.ndim(v) == 0}
         if self.writer is not None:
@@ -288,7 +313,8 @@ class CFMTrainer(BaseTrainer):
                  scheduler=None, mesh=None, accumulate_grad_batches: int = 1,
                  steps_per_call: int = 1, prefetch_groups: int = 1,
                  transfer_dtype: Optional[str] = None,
-                 dedupe_captions: bool = True, **kw):
+                 dedupe_captions: bool = True,
+                 caption_cache_dir: Optional[str] = None, **kw):
         super().__init__(**kw)
         from versband_tpu.train.state import make_adamw
         from versband_tpu.train.step import (make_cfm_multi_step,
@@ -346,11 +372,96 @@ class CFMTrainer(BaseTrainer):
         # finite template pools make duplicates common) and gather rows back
         # on device — same values, fewer frozen-tower rows
         self.dedupe_captions = bool(dedupe_captions)
+        # persistent embedding cache for the FROZEN tower — OPT-IN, for
+        # datasets whose caption set is small and fixed (precomputed prompt
+        # lists, eval sweeps): a full hit is one on-device stack+gather and
+        # the tower program leaves the chip. Default OFF because the shipped
+        # vocal2accomp dataset draws captions from randomized templates per
+        # ACCESS (~60 distinct per 64-row group, ~95% never seen before —
+        # measured, docs/BENCH_NOTES.md "Caption cache"), so the cache never
+        # warms and its miss-side costs (per-row slice dispatches, a full
+        # d2h readback per group for the disk tier, one npy write per new
+        # caption) sink loader-fed throughput 12.6 -> 1.9 steps/s on the
+        # v5e. The RAM tier holds DEVICE arrays: a host-side cache would
+        # trade the tower for a ~2.6 MB/batch h2d re-upload through the
+        # tunnel, which is SLOWER than the encode it saves (measured
+        # 10.1 -> 2.1 steps/s). 'auto' scopes the cache to the run's logdir
+        # (same logdir == same tower config, so no cross-model poisoning).
+        if caption_cache_dir == "auto":
+            caption_cache_dir = os.path.join(self.logdir, "caption_cache")
+        self._cap_cache_dir = caption_cache_dir if cond_stage is not None \
+            else None
+        self._cap_cache: Dict[str, Any] = {}  # caption -> [L, D] device row
+        self._cap_cache_cap = 4096  # ~1.3 GB HBM at [80,1024] fp32; the
+        # disk tier below is unbounded and re-seeds evicted rows on demand
+        # miss rows ride to the host ASYNCHRONOUSLY (copy_to_host_async at
+        # encode time, materialized one group later) — a blocking np.asarray
+        # on the tower output would serialize the prefetch thread on a d2h
+        # RPC through the tunnel every group (measured 10.1 -> 3.9 steps/s)
+        self._cap_pending: list = []
+        if self._cap_cache_dir is not None:
+            os.makedirs(self._cap_cache_dir, exist_ok=True)
+
+    def _cache_lookup(self, cap: str):
+        """Device row for ``cap``, or None. Disk hits upload once per
+        process (one h2d per caption ever, amortized across all epochs)."""
+        hit = self._cap_cache.get(cap)
+        if hit is not None:
+            return hit
+        if self._cap_cache_dir is None:
+            return None
+        import hashlib
+
+        path = os.path.join(self._cap_cache_dir,
+                            hashlib.sha1(cap.encode()).hexdigest() + ".npy")
+        if os.path.exists(path):
+            try:
+                hit = jnp.asarray(np.load(path))
+            except Exception:
+                return None  # partial write from a crashed run: re-encode
+            self._cache_remember(cap, hit)
+        return hit
+
+    def _cache_remember(self, cap: str, emb):
+        if len(self._cap_cache) >= self._cap_cache_cap:
+            # pop(key, None): the prefetch thread and a main-thread
+            # log_images encode can evict concurrently
+            self._cap_cache.pop(next(iter(self._cap_cache), None), None)
+        self._cap_cache[cap] = emb
+
+    def _cache_flush_pending(self):
+        """Write the previous groups' miss rows to the DISK tier — their
+        async d2h has had a full group of device time to complete, so the
+        np.asarray here is (close to) a no-wait read. RAM already holds the
+        device rows; overwriting them with host copies would put the h2d
+        back on the hot path."""
+        pending, self._cap_pending = self._cap_pending, []
+        for texts, enc in pending:
+            arr = np.asarray(enc)
+            for t, e in zip(texts, arr):
+                self._disk_store(t, e)
+
+    def _disk_store(self, cap: str, emb: np.ndarray):
+        import hashlib
+
+        path = os.path.join(
+            self._cap_cache_dir,
+            hashlib.sha1(cap.encode()).hexdigest() + ".npy")
+        # tmp must end in .npy: np.save appends the suffix otherwise and
+        # os.replace would miss the actual file written
+        tmp = f"{path}.tmp{os.getpid()}.npy"
+        try:
+            np.save(tmp, np.asarray(emb))
+            os.replace(tmp, path)  # atomic: concurrent ranks are safe
+        except OSError:
+            pass  # cache write failure must never kill training
 
     def _encode_captions(self, batch):
         captions = batch["caption"]["caption"]
         if self.cond_stage is None:  # pre-encoded or test mode
-            return np.asarray(captions)
+            # same wire compression as the fused-group path so caption
+            # precision does not depend on steps_per_call
+            return self._compress(np.asarray(captions))
         # stays a device array: np.asarray here would force a blocking
         # device->host->device round-trip per batch (an extra RPC through
         # the axon tunnel on top of the transfer)
@@ -367,7 +478,7 @@ class CFMTrainer(BaseTrainer):
         shapes, not one per duplicate pattern.
         """
         n = len(caps)
-        if self.dedupe_captions and n > 1:
+        if self._cap_cache_dir is not None or (self.dedupe_captions and n > 1):
             idx_of: Dict[str, int] = {}
             inv = np.empty((n,), np.int32)
             uniq = []
@@ -376,6 +487,36 @@ class CFMTrainer(BaseTrainer):
                 if j == len(uniq):
                     uniq.append(c)
                 inv[i] = j
+            if self._cap_cache_dir is not None:
+                self._cache_flush_pending()
+                rows = [self._cache_lookup(c) for c in uniq]
+                miss = [k for k, r in enumerate(rows) if r is None]
+                if miss:
+                    texts = [uniq[k] for k in miss]
+                    bucket = 1
+                    while bucket < len(texts):
+                        bucket *= 2
+                    padded = texts + [texts[-1]] * (bucket - len(texts))
+                    enc = self.cond_stage(
+                        {"caption": padded, "acoustic": {}})["caption"]
+                    # disk fill is off the hot path: start the d2h now, read
+                    # it back next group when the transfer has completed
+                    try:
+                        enc.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    self._cap_pending.append((texts, enc))
+                    # RAM keeps lazy DEVICE slices — never a host round-trip
+                    for pos_k, k in enumerate(miss):
+                        rows[k] = enc[pos_k]
+                        self._cache_remember(uniq[k], rows[k])
+                    if len(miss) == len(uniq):
+                        # cold group (epoch 0): exactly the r4 dedup plan —
+                        # one device-side gather, zero extra dispatches
+                        return enc[:len(miss)][jnp.asarray(inv)]
+                # hit/mixed: on-device stack of cached rows + gather — the
+                # tower runs only on the miss rows, nothing crosses the wire
+                return jnp.stack(rows)[jnp.asarray(inv)]
             bucket = 1
             while bucket < len(uniq):
                 bucket *= 2
@@ -387,14 +528,18 @@ class CFMTrainer(BaseTrainer):
         return self.cond_stage({"caption": caps, "acoustic": {}})["caption"]
 
     def _compress(self, a):
-        """Wire compression for h2d (see transfer_dtype)."""
-        if self.transfer_dtype is None:
-            return a
-        a = np.asarray(a)
-        if a.dtype == np.float32:
-            return a.astype(np.float16)
-        if a.dtype in (np.int32, np.int64):
-            return a.astype(np.int16)  # midi vocab 130, beats 3: both fit
+        """Wire compression for h2d.
+
+        Integer ids ALWAYS ship as int16 — midi vocab 130, beats 3: the cast
+        is value-preserving, a pure 4x bandwidth win over int64 (the step
+        widens them back on device). Floats only under the opt-in lossy
+        ``transfer_dtype`` (fp16 rounds the input mels by ~6e-4 relative).
+        """
+        arr = np.asarray(a)
+        if arr.dtype in (np.int32, np.int64):
+            return arr.astype(np.int16)
+        if self.transfer_dtype is not None and arr.dtype == np.float32:
+            return arr.astype(np.float16)
         return a
 
     def _device_batch(self, batch) -> Dict[str, Any]:
@@ -453,8 +598,13 @@ class CFMTrainer(BaseTrainer):
         if self._prefetch and self._xfer_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
+            # one worker per prefetched group: assembly is dominated by RPC
+            # waits (h2d acks, tower dispatch) that release the GIL, so two
+            # workers overlap two groups' waits even on a 1-core host;
+            # dispatch order stays FIFO via the _inflight queue regardless
+            # of which assembly finishes first
             self._xfer_pool = ThreadPoolExecutor(
-                1, thread_name_prefix="cfm-xfer")
+                max(1, self._prefetch), thread_name_prefix="cfm-xfer")
         try:
             for epoch in range(self.max_epochs):
                 self._dispatch("on_epoch_start", epoch)
@@ -521,6 +671,8 @@ class CFMTrainer(BaseTrainer):
                 self._xfer_pool.shutdown(wait=False, cancel_futures=True)
                 self._xfer_pool = None
                 self._inflight.clear()
+            if self._cap_pending:  # last group's miss rows still in flight
+                self._cache_flush_pending()
 
     def _run_single(self, batch):
         self._dispatch_single(self._device_batch(batch), batch)
