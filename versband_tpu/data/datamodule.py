@@ -86,9 +86,10 @@ class DataModule:
     def __init__(self, batch_size: int, train=None, validation=None, test=None,
                  num_workers: Optional[int] = None, shuffle: bool = True,
                  num_replicas: Optional[int] = None, rank: Optional[int] = None,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, num_worker_procs: int = 0, **kwargs):
         self.batch_size = batch_size
         self.num_workers = num_workers if num_workers is not None else batch_size * 2
+        self.num_worker_procs = int(num_worker_procs)
         self.shuffle = shuffle
         self.num_replicas = num_replicas
         self.rank = rank
@@ -113,6 +114,15 @@ class DataModule:
             _ordered_or_range(ds), self.batch_size,
             num_replicas=self.num_replicas, rank=self.rank,
             shuffle=shuffle, seed=self.seed)
+        if self.num_worker_procs > 0:
+            # process fan-out (main.py:249-251's num_workers=16 analogue):
+            # workers rebuild the dataset from its config — the parent copy
+            # only serves the sampler above
+            from versband_tpu.data.proc_loader import ProcessDataLoader
+
+            return ProcessDataLoader(self.dataset_configs[name], sampler,
+                                     num_procs=self.num_worker_procs,
+                                     seed=self.seed)
         return DataLoader(ds, sampler, num_workers=self.num_workers)
 
     def train_dataloader(self) -> DataLoader:
