@@ -16,3 +16,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: most fast-tier wall time is CPU XLA
+# compiles that are identical run over run (fixed shapes, fixed configs).
+# First run populates the cache; repeat runs hit it. Point elsewhere (or
+# disable with an empty string) via VERSBAND_TEST_COMPILE_CACHE.
+_cache_dir = os.environ.get("VERSBAND_TEST_COMPILE_CACHE",
+                            "/tmp/versband_jax_test_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

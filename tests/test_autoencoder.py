@@ -6,6 +6,7 @@ import numpy as np
 
 from versband_tpu.models.autoencoder import AutoencoderKL, Encoder1D, Decoder1D
 from versband_tpu.models.distributions import DiagonalGaussian
+import pytest
 
 TINY_DD = dict(
     double_z=True, in_channels=80, out_ch=80, z_channels=20, kernel_size=5,
@@ -21,6 +22,7 @@ def _build(dd=TINY_DD, embed_dim=20):
     return m, params
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     m, params = _build()
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 80, 64))
@@ -31,6 +33,7 @@ def test_vae_roundtrip_shapes():
     assert rec.shape == (2, 80, 64)
 
 
+@pytest.mark.slow
 def test_vae_forward_posterior_sampling():
     m, params = _build()
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 80, 64))
@@ -60,6 +63,7 @@ def test_diagonal_gaussian_math():
     np.testing.assert_allclose(np.asarray(nll), expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_downsample_odd_length():
     """(0,1)-padded stride-2 valid conv: T -> floor((T-1)/2)+1, matching torch's
     Conv1d(k=3, s=2) after (0,1) pad as in the reference Downsample1D

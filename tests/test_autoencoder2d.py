@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from versband_tpu.models.autoencoder2d import (
     AutoencoderKL2D, VQModel, VQModelInterface, VectorQuantizer,
@@ -12,6 +13,7 @@ DD = dict(ch=8, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
           in_channels=1, resolution=32, z_channels=3, out_ch=1)
 
 
+@pytest.mark.slow
 def test_kl2d_roundtrip():
     m = AutoencoderKL2D(embed_dim=3, ddconfig=DD)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))

@@ -148,6 +148,7 @@ class TBigVGAN(nn.Module):
         return torch.tanh(self.conv_post(x))
 
 
+@pytest.mark.slow
 def test_bigvgan_full_generator_torch_parity():
     torch.manual_seed(0)
     tm = TBigVGAN().eval()

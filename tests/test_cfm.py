@@ -42,6 +42,7 @@ def cfm():
     return m, params
 
 
+@pytest.mark.slow
 def test_cfm_loss_finite_and_interp(cfm):
     m, params = cfm
     x1 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 8))
@@ -88,6 +89,7 @@ def test_cfg_batch_doubling_equals_two_pass(cfm):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(x), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_scale_guidance_one_skips_uncond(cfm):
     m, params = cfm
     x0 = jax.random.normal(jax.random.PRNGKey(8), (2, 6, 8))

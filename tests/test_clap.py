@@ -20,6 +20,7 @@ def test_logmel_shapes_and_db_scale():
     assert float(mel.max()) < 60 and float(mel.min()) >= -100 - 1
 
 
+@pytest.mark.slow
 def test_cnn14_tower():
     m = Cnn14(**TINY_CNN)
     wav = jnp.zeros((1, 8000))
@@ -36,6 +37,7 @@ def clap():
                 fallback_config=TINY_BERT)
 
 
+@pytest.mark.slow
 def test_clap_embeddings_and_similarity(clap):
     wavs = np.random.RandomState(0).randn(2, 8000).astype(np.float32)
     a = clap.get_audio_embeddings(wavs)
@@ -46,6 +48,7 @@ def test_clap_embeddings_and_similarity(clap):
     assert np.isfinite(np.asarray(sims)).all()
 
 
+@pytest.mark.slow
 def test_clap_wrapper_zero_shot(clap):
     w = CLAPWrapper(None, d_proj=24, text_model="missing",
                     cnn_kwargs=TINY_CNN, fallback_config=TINY_BERT)

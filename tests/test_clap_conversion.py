@@ -191,6 +191,7 @@ def test_fold_torch_batchnorm_matches_eval_bn():
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_clap_bert_tower_parity(tmp_path):
     """caption_encoder.base.* (HF BERT inside the CLAP ckpt,
     ``CLAP/clap.py:46``) -> HF dir -> FlaxBertModel.from_pretrained(from_pt)

@@ -214,6 +214,7 @@ class THybridDiT2MLP2(nn.Module):
 
 
 @pytest.mark.parametrize("fuse", ["concat_cut", "concat_proj"])
+@pytest.mark.slow
 def test_hybrid_dit2mlp2_torch_parity(fuse):
     torch.manual_seed(0)
     tm = THybridDiT2MLP2(fuse).eval()

@@ -36,6 +36,7 @@ def dit_and_params():
     return m, params
 
 
+@pytest.mark.slow
 def test_dit_forward_shapes(dit_and_params):
     m, params = dit_and_params
     B, T_lat = 2, 12
@@ -64,6 +65,7 @@ def test_dit_eval_deterministic(dit_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_dit_train_grads_flow(dit_and_params):
     m, params = dit_and_params
     # adaLN-zero blocks expert grads at exact init; perturb away from zero
@@ -87,6 +89,7 @@ def test_dit_train_grads_flow(dit_and_params):
     assert float(jnp.abs(ge).sum()) > 0
 
 
+@pytest.mark.slow
 def test_length_reconciliation(dit_and_params):
     """T_mel odd -> acoustic T_mel//2 vs latent ceil: +-2 reconciliation must hold."""
     m, params = dit_and_params
@@ -114,6 +117,7 @@ def test_annealing_schedules():
     assert float(anneal_loss_weight(10**6)) == pytest.approx(0.01)
 
 
+@pytest.mark.slow
 def test_stacked_swiglu_equals_loop():
     """Stacked einsum experts == E independent SwiGLU FFNs."""
     E, d, hdim = 3, 8, 16
@@ -130,6 +134,7 @@ def test_stacked_swiglu_equals_loop():
         np.testing.assert_allclose(np.asarray(out[e]), ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_routed_swiglu_matches_dense_onehot_mix():
     """Eval fast path: ragged_dot routed experts == dense compute + one-hot mix."""
     E, d, hdim = 4, 8, 16
@@ -147,6 +152,7 @@ def test_routed_swiglu_matches_dense_onehot_mix():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_band_diagonal_swiglu_matches_masked_dense():
     """Freq-expert fast path: sliced-weight contraction == zero-masked dense."""
     E, d, hdim = 4, 16, 16

@@ -299,6 +299,7 @@ def test_band_moe_dit_full_parity():
     _run_parity(TINY, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_band_moe_dit_shipped_geometry_parity():
     """VERDICT r2 item 1: the exact shipped width (768/d4/h8/E4/ori1024/20ch).
 

@@ -18,6 +18,7 @@ def _rand_qkv(key, B, Tq, Tk, H, D, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("Tq,Tk,D", [(128, 128, 64), (256, 384, 96), (80, 200, 96)])
+@pytest.mark.slow
 def test_matches_sdpa_unmasked(Tq, Tk, D):
     q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, Tq, Tk, 4, D)
     out = flash_attention(q, k, v)
@@ -44,6 +45,7 @@ def test_bf16_io_fp32_accumulation():
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_gradients_match_sdpa():
     B, T, H, D = 2, 96, 2, 32
     q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, T, T, H, D)
@@ -73,6 +75,7 @@ def test_kv_len_zero_row_returns_zeros():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_gradients_nonmultiple_shapes_and_zero_len():
     # Tq/Tk not multiples of the block plan; one fully-masked row.
     B, Tq, Tk, H, D = 3, 70, 150, 2, 96
@@ -99,6 +102,7 @@ def test_gradients_nonmultiple_shapes_and_zero_len():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradients_long_sequence_blocked():
     # Long enough that the backward streams multiple q and k blocks.
     B, Tq, Tk, H, D = 1, 600, 600, 1, 32
@@ -163,6 +167,7 @@ def test_sharded_matches_sdpa_model_axis_mesh():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grad_matches_unsharded():
     from versband_tpu.ops.flash_attention import flash_attention_sharded
     from versband_tpu.parallel import make_mesh

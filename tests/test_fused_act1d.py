@@ -20,6 +20,7 @@ def _unfused(x, alpha, beta, logscale):
 
 @pytest.mark.parametrize("B,T,C", [(2, 64, 32), (1, 160, 16), (1, 96, 128)])
 @pytest.mark.parametrize("logscale", [True, False])
+@pytest.mark.slow
 def test_fused_matches_unfused(B, T, C, logscale):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, T, C), jnp.float32)
@@ -57,6 +58,7 @@ def test_activation1d_module_uses_fused_and_matches():
 
 
 @pytest.mark.parametrize("block_t,C", [(32, 16), (16, 32), (8, 64)])
+@pytest.mark.slow
 def test_fused_multi_block_seams(block_t, C):
     """Force nb>1 via explicit block_t: FIR taps reaching across block seams
     must read neighbor halo blocks (serving shapes run 100+ blocks, but the
@@ -82,6 +84,7 @@ def test_fused_fallback_on_odd_length():
 
 @pytest.mark.parametrize("T,C,logscale", [(64, 16, True), (231, 8, True),
                                           (480, 32, False), (96, 256, True)])
+@pytest.mark.slow
 def test_polyphase_matches_unfused(T, C, logscale):
     """The MXU polyphase formulation (4 stride-1 FIRs, no 2T intermediate)
     must match UpSample1d -> snake -> DownSample1d exactly, including at

@@ -24,6 +24,7 @@ def _rand_params(key, mod, *args, **kw):
 
 
 @pytest.mark.parametrize("dilation", [1, 4, 64, 512])
+@pytest.mark.slow
 def test_fused_layer_matches_dense(dilation):
     B, T, R, A = 2, 4096, 64, 80
     rng = np.random.default_rng(0)
@@ -89,6 +90,7 @@ def test_fused_layer_multi_block_seams(dilation):
         / sscale < 1e-5
 
 
+@pytest.mark.slow
 def test_fused_generator_matches_dense():
     """Whole generator: fused_inference=True == False (same params)."""
     T_MEL, HOP = 16, 320
@@ -110,6 +112,7 @@ def test_fused_generator_matches_dense():
     assert rel < 5e-5, rel
 
 
+@pytest.mark.slow
 def test_fused_generator_param_tree_identical():
     """fused_inference must not change the checkpoint layout."""
     T_MEL, HOP = 8, 320

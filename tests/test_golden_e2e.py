@@ -156,6 +156,7 @@ def _run_golden(dit_g, vae_g, voc_g, t_mel, mel_mse_tol=1e-3,
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_golden_e2e_composed_chain():
     _run_golden(DIT_TINY, VAE_TINY, VOC_TINY, t_mel=16)
 

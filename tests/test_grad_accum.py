@@ -103,6 +103,7 @@ def tiny_cfm():
     return cfm, params, x_start, cond
 
 
+@pytest.mark.slow
 def test_eval_mode_loss_is_deterministic(tiny_cfm):
     """p_losses with train=False: no Gumbel noise — identical (t, noise) give
     identical losses across calls and across gumbel keys."""

@@ -85,6 +85,7 @@ def test_progressive_denoising_snapshots():
     assert err_last <= err_first + 0.05
 
 
+@pytest.mark.slow
 def test_classifier_guidance_shifts_eps():
     sched = DiffusionSchedule.create(100, "linear", 0.00085, 0.012)
     clf = NoiseLevelClassifier(num_classes=3, in_channels=2, hidden=16,
@@ -102,6 +103,7 @@ def test_classifier_guidance_shifts_eps():
     assert float(jnp.abs(eps2).max()) > 0  # guidance moved eps
 
 
+@pytest.mark.slow
 def test_latent_diffusion_order_single_key_dispatch():
     """ddpm_audio_order variant: cond wrapped whole under the conditioning
     key, ConcatOrderDiT context dicts pass through intact."""
@@ -162,6 +164,7 @@ class _TinyHybridNet(fnn.Module):
         return jnp.swapaxes(h, 1, 2), 0.0
 
 
+@pytest.mark.slow
 def test_inpaint_alias_and_get_input():
     """Masked get_input semantics (ddpm_audio_inpaint.py:273-298): c_concat =
     concat(encode(masked_image), nearest-resized mask) on latent T."""
@@ -206,6 +209,7 @@ def test_inpaint_alias_and_get_input():
     assert cond["c_crossattn"].shape == (B, 3, 16)
 
 
+@pytest.mark.slow
 def test_inpaint_training_converges_and_samples():
     """p_losses (ddpm_audio_inpaint.py:700-733) trains a tiny hybrid backbone;
     loss drops and conditional inpaint sampling runs at the right shape."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from versband_tpu.models.dit_timefreq import TimeFreqMoeDiT, TimeFreqMoE
 from versband_tpu.models.concat_dit import (
@@ -25,6 +26,7 @@ def test_timefreq_moe_hard_time_routing():
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_c), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_timefreq_dit_forward():
     m = TimeFreqMoeDiT(in_channels=4, context_dim=12, hidden_size=16, depth=2,
                        num_heads=2, max_len=32, num_experts=4, multiple_of=8)
@@ -36,6 +38,7 @@ def test_timefreq_dit_forward():
     assert float(lb) == 0.0
 
 
+@pytest.mark.slow
 def test_concat_dit_variants():
     # hidden must be a multiple of 32 (TemporalTransformer GroupNorm groups)
     for cls in (ConcatDiT, ConcatDiT2MLP):
@@ -49,6 +52,7 @@ def test_concat_dit_variants():
         assert float(lb) == 0.0
 
 
+@pytest.mark.slow
 def test_hybrid_dit_with_codes():
     # codes arrive at mel rate (2x the latent rate) and are avg-pooled 2x
     for cls, fuse in ((HybridDiT2MLP, None), (HybridDiT2MLP2, "concat_cut"),
@@ -65,6 +69,7 @@ def test_hybrid_dit_with_codes():
         assert out.shape == (1, 4, 20)
 
 
+@pytest.mark.slow
 def test_concat_order_dit_variants():
     B, Tc, T = 2, 9, 20
     # tokens: <start> tok tok <|> tok <|> tok <eos> <pad>
@@ -85,6 +90,7 @@ def test_concat_order_dit_variants():
         assert float(lb) == 0.0
 
 
+@pytest.mark.slow
 def test_concat_order_dit2_insertion_layout():
     """Order tokens land immediately before their '|' separator; tail is
     pad-order embedding (the reference list.insert layout)."""

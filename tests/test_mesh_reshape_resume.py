@@ -67,6 +67,7 @@ def _run_steps(step_fn, state, batch, mesh, keys):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_resume_across_mesh_reshape(tmp_path):
     cfm, state0, step_fn, batch = _tiny_stack()
     keys = [jax.random.PRNGKey(100 + i) for i in range(3)]

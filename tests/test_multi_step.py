@@ -35,6 +35,7 @@ def _batch(key, B=2, T_lat=8, T_mel=16, K=None):
     }
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_single_steps():
     cfm = _tiny_cfm()
     K = 3

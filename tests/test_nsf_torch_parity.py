@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from versband_tpu.utils.torch_convert import convert_state_dict
 from versband_tpu.vocoder.nsf import NSFHifiGanGenerator
+import pytest
 
 CH0 = 32
 RATES, KS = (4, 4), (8, 8)
@@ -129,6 +130,7 @@ def test_nsf_full_generator_torch_parity():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_nsf_shipped_geometry_parity():
     """VERDICT r2 item 1: shipped NSF geometry — 24 kHz, 512 ch, rates
     5/4/4/4 (hop 320), resblock kernels 3/7/11 — deterministic sub-space."""

@@ -40,6 +40,7 @@ def _fixed_cfg(tree):
                        "mel_num": 80, "spec_crop_len": 64, "seed": 0}}
 
 
+@pytest.mark.slow
 def test_proc_loader_matches_sequential_order(fixed_tree):
     cfg = _fixed_cfg(fixed_tree)
     ds = instantiate_from_config(cfg)

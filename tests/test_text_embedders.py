@@ -73,6 +73,7 @@ def test_clap_text_embedder():
     assert z.shape == (1, 8, 24)
 
 
+@pytest.mark.slow
 def test_clap_flan_embedder_concat():
     emb = ClapFlanEmbedder(None, t5version="missing", max_length=8,
                            text_model="missing", d_proj=32,

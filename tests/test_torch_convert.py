@@ -178,6 +178,7 @@ def test_mha_in_proj_split_parity():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nsf_keys_convert_and_load():
     """NSF HiFi-GAN torch keys (m_source.l_linear, noise_convs.N) map onto
     the flax NSFHifiGanGenerator param tree (structural check; SineGen phase

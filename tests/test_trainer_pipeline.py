@@ -74,6 +74,7 @@ def _fit(tmp_path, tag, **kw):
     return tr
 
 
+@pytest.mark.slow
 def test_pipelined_fit_matches_inline(tmp_path):
     """prefetch_groups=1 (default) must be a pure latency optimization: the
     dispatched programs and RNG streams are identical to prefetch_groups=0."""
@@ -87,6 +88,7 @@ def test_pipelined_fit_matches_inline(tmp_path):
         tr_in.state.params, tr_pl.state.params)
 
 
+@pytest.mark.slow
 def test_transfer_dtype_fp16_trains(tmp_path):
     """fp16-wire training must run the same program structure to a finite
     loss; values differ from fp32 wire only by the fp16 rounding of inputs."""

@@ -33,6 +33,7 @@ def setup():
     return vae, loss, mel, vae_params, loss_params
 
 
+@pytest.mark.slow
 def test_loss_pieces(setup):
     vae, loss, mel, vae_params, loss_params = setup
     post = vae.apply(vae_params, mel, method="encode")
@@ -57,6 +58,7 @@ def test_d_losses_and_adopt_weight():
     assert float(adopt_weight(2.0, 15, threshold=10)) == 2.0
 
 
+@pytest.mark.slow
 def test_train_step_updates_both(setup):
     vae, loss, mel, vae_params, loss_params = setup
     gen_state = TrainState.create(vae_params, make_adam(1e-3))
@@ -86,6 +88,7 @@ def test_train_step_updates_both(setup):
     assert lv_before == lv_after
 
 
+@pytest.mark.slow
 def test_disc_warmup_gates_adversarial(setup):
     vae, loss_on, mel, vae_params, loss_params = setup
     loss_off = VAEGANLoss(disc_start=10_000, disc_hidden_size=8,

@@ -246,6 +246,7 @@ def test_decoder_torch_parity():
     _run_decoder_parity(TINY, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_shipped_geometry_parity():
     _run_encoder_parity(SHIPPED, atol=1e-3)
 

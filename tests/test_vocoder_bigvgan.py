@@ -76,6 +76,7 @@ def test_activation1d_preserves_length():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_generator_shapes_and_wrapper():
     gen = BigVGANGenerator(upsample_initial_channel=32,
                            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),

@@ -54,6 +54,7 @@ def test_wnconv1d_matches_torch_weight_norm():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_generator_output_length_is_hop_times_frames():
     gen = HifiGanGenerator(upsample_initial_channel=32)
     mel = jnp.zeros((2, 80, 24))
@@ -63,6 +64,7 @@ def test_generator_output_length_is_hop_times_frames():
     assert np.all(np.abs(np.asarray(wav)) <= 1.0)  # tanh output
 
 
+@pytest.mark.slow
 def test_fold_weight_norm_preserves_output():
     gen = HifiGanGenerator(upsample_initial_channel=16,
                            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),

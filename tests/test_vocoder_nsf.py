@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from versband_tpu.vocoder.nsf import (
     sine_gen, SourceModuleHnNSF, NSFHifiGanGenerator, estimate_f0_from_mel,
@@ -29,6 +30,7 @@ def test_sine_gen_voiced_periodicity_and_uv():
     assert np.abs(np.asarray(noise)).max() < 0.3
 
 
+@pytest.mark.slow
 def test_nsf_generator_shapes():
     gen = NSFHifiGanGenerator(upsample_initial_channel=16,
                               upsample_rates=(4, 4),
@@ -70,6 +72,7 @@ def test_stft_denoise_reduces_noise_floor():
     assert np.isfinite(den).all()
 
 
+@pytest.mark.slow
 def test_wrapper_random_init():
     voc = HifiGAN_NSF(None, upsample_initial_channel=16,
                       upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),

@@ -18,6 +18,7 @@ from versband_tpu.vocoder.discriminators import (
     feature_loss, discriminator_loss, generator_loss)
 
 
+@pytest.mark.slow
 def test_pwg_generator_shapes():
     T_mel, hop = 10, 80  # scales (4,4,5)
     gen = ParallelWaveGANGenerator(
@@ -41,6 +42,7 @@ def test_pwg_discriminator_shapes():
 
 
 @pytest.mark.parametrize("scales", [(8, 8, 5), (4, 4, 4)])
+@pytest.mark.slow
 def test_melgan_generator_shapes(scales):
     gen = MelGANGenerator(channels=64, upsample_scales=scales, stacks=2)
     mel = jnp.zeros((1, 80, 8))
@@ -49,6 +51,7 @@ def test_melgan_generator_shapes(scales):
     assert wav.shape == (1, 1, 8 * int(np.prod(scales)))
 
 
+@pytest.mark.slow
 def test_melgan_multiscale_discriminator():
     d = MelGANMultiScaleDiscriminator()
     x = jnp.zeros((1, 1, 1024))
@@ -82,6 +85,7 @@ def test_pqmf_prototype_matches_scipy_firwin_style():
     np.testing.assert_allclose(h, h[::-1], atol=1e-12)  # linear phase
 
 
+@pytest.mark.slow
 def test_mrstft_loss_zero_for_identical():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 2048).astype(np.float32))
@@ -105,6 +109,7 @@ def test_stft_magnitude_matches_torch():
                                atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_hifigan_discriminators_and_losses():
     y = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 2000))
     y_hat = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 2000))
@@ -125,6 +130,7 @@ def test_hifigan_discriminators_and_losses():
     assert len(rs) == 3
 
 
+@pytest.mark.slow
 def test_mrd_discriminator():
     y = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4096))
     mrd = MultiResolutionDiscriminator(
@@ -137,6 +143,7 @@ def test_mrd_discriminator():
         np.testing.assert_allclose(np.asarray(r), np.asarray(g))
 
 
+@pytest.mark.slow
 def test_patchgan_discriminator():
     d = NLayerDiscriminator(ndf=16, n_layers=2, use_actnorm=True)
     x = jnp.zeros((2, 1, 80, 64))
@@ -145,6 +152,7 @@ def test_patchgan_discriminator():
     assert out.ndim == 4 and out.shape[0] == 2 and out.shape[1] == 1
 
 
+@pytest.mark.slow
 def test_pwg_runtime_wrapper_vocode():
     """ParallelWaveGAN wrapper: edge-padded mel -> T' x hop waveform, same
     calling convention as the HifiGAN/VocoderBigVGAN wrappers."""

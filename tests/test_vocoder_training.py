@@ -52,6 +52,7 @@ def test_hifigan_gan_step():
     assert _delta(d2.params, disc_state.params) > 0
 
 
+@pytest.mark.slow
 def test_pwg_step_with_warmup_gating():
     gen = ParallelWaveGANGenerator(layers=2, stacks=1, residual_channels=4,
                                    gate_channels=8, skip_channels=4,
