@@ -101,7 +101,10 @@ def _stage2(dataset_dir, logs, vae_ckpt, extra=()):
         f"data.params.main_spec_dir_path={dataset_dir}/manifests",
         f"data.params.other_condition={dataset_dir}/midi.npy",
         "data.params.batch_size=4", "data.params.num_workers=0",
-        "data.params.spec_crop_len=64",
+        # spec_crop_len alone is NOT enough: the dataset's 375-frame batch
+        # floor (reference vocal2accomp_musical_dataset.py:26) outranks the
+        # crop in collate, which would overflow the toy max_len=64 RoPE table
+        "data.params.spec_crop_len=64", "data.params.min_batch_len=64",
         "model.params.mel_dim=4",
         "model.params.unet_config.params.in_channels=4",
         "model.params.unet_config.params.ori_dim=16",

@@ -326,8 +326,12 @@ def main(argv: List[str] = None) -> int:
                 csv_data["audio_path"].append(path)
                 csv_data["caption"].append(item["caption"])
                 csv_data["name"].append(item["name"])
-                # gt vocal + mixed song when source audio exists
-                if item["audio_path"] and os.path.exists(item["audio_path"]):
+                # gt vocal + mixed song when source audio exists (empty
+                # manifest cells arrive as NaN floats from pandas — only a
+                # non-empty string is a candidate path)
+                if isinstance(item.get("audio_path"), str) \
+                        and item["audio_path"] \
+                        and os.path.exists(item["audio_path"]):
                     from scipy.io import wavfile
 
                     sr, gt_accomp = wavfile.read(item["audio_path"])

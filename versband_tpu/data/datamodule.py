@@ -143,7 +143,7 @@ class SpectrogramDataModule(DataModule):
                  spec_dir_path=None, mel_num=None, spec_len=None,
                  spec_crop_len=None, drop=None, pad_value=None, mode=None,
                  main_spec_dir_path=None, other_spec_dir_path=None,
-                 other_condition=None, max_tokens=None,
+                 other_condition=None, max_tokens=None, min_batch_len=None,
                  train=None, validation=None, test=None, **kwargs):
         specs_cfg = {k: v for k, v in dict(
             spec_dir_path=spec_dir_path, mel_num=mel_num, spec_len=spec_len,
@@ -151,6 +151,7 @@ class SpectrogramDataModule(DataModule):
             mode=mode, main_spec_dir_path=main_spec_dir_path,
             other_spec_dir_path=other_spec_dir_path,
             other_condition=other_condition, max_tokens=max_tokens,
+            min_batch_len=min_batch_len,
         ).items() if v is not None}
         for split_cfg in (train, validation, test):
             if split_cfg is not None:

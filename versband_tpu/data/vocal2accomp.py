@@ -45,11 +45,15 @@ class JoinManifestSpecs:
                  pad_value: float = -5.0, drop: float = 0.0,
                  max_tokens: int = 80000, other_condition: Optional[str] = None,
                  seed: Optional[int] = None, caption_templates: str = "clause",
-                 **kwargs):
+                 min_batch_len: int = 375, **kwargs):
         assert mode in ("pad", "tile")
         self.split = split
         self.max_batch_len = spec_crop_len
-        self.min_batch_len = 375
+        # the reference hardcodes a 5 s (375-frame) batch floor
+        # (vocal2accomp_musical_dataset.py:26) and its collate applies min
+        # AFTER max, so min wins when spec_crop_len < min_batch_len;
+        # configurable here so small-geometry runs can lower the floor
+        self.min_batch_len = min_batch_len
         self.min_factor = 4
         self.unit_frames_multiple = 2 * self.min_factor  # 8: latent is T/2, mel mult of 4
         self.mel_num = mel_num
