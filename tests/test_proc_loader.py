@@ -128,3 +128,30 @@ def test_proc_loader_worker_failure_propagates(fixed_tree):
     with pytest.raises(RuntimeError):
         list(loader)
     assert loader._procs is None  # pool torn down on failure
+
+
+def test_proc_loader_abandoned_iteration_no_stale_batches(fixed_tree):
+    """A consumer that breaks mid-epoch (trainer max_steps) leaves in-flight
+    results in out_q; the next epoch must not deliver them as its own."""
+    cfg = _fixed_cfg(fixed_tree)
+    ds = instantiate_from_config(cfg)
+    sampler = IndexBatchSampler(list(range(len(ds))), 2, num_replicas=1,
+                                rank=0, shuffle=False)
+    want = [ds.collater([ds[i] for i in idxs]) for idxs in sampler]
+
+    loader = ProcessDataLoader(cfg, sampler, num_procs=2, seed=0,
+                               prefetch=4)
+    try:
+        it = iter(loader)
+        next(it)  # consume one batch, abandon with 3 jobs still in flight
+        del it
+        import time
+
+        time.sleep(1.0)  # let stale results land in out_q
+        got = list(loader)  # fresh epoch must re-deliver 0..N in order
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g["image"], w["image"])
+            assert g["f_name"] == w["f_name"]
+    finally:
+        loader.close()

@@ -154,11 +154,17 @@ class ProcessDataLoader:
 
     def __iter__(self) -> Iterator[Any]:
         self._ensure_pool()
+        # Epoch tag in the sequence id: an abandoned iteration (trainer break
+        # on max_steps) leaves in-flight results in out_q; without the tag
+        # they would collide with the next epoch's seq 0..N and deliver stale
+        # batches out of order.
+        self._epoch = getattr(self, "_epoch", 0) + 1
+        epoch = self._epoch
         batches: List[List[int]] = [list(b) for b in self.batch_sampler]
         it = iter(batches)
         submitted = 0
         for _ in range(min(self.prefetch, len(batches))):
-            self._in_q.put((submitted, next(it)))
+            self._in_q.put(((epoch, submitted), next(it)))
             submitted += 1
         buf = {}
         for next_seq in range(len(batches)):
@@ -167,10 +173,12 @@ class ProcessDataLoader:
                 if not ok:
                     self.close()
                     raise RuntimeError(f"loader worker failed:\n{payload}")
-                buf[seq] = payload
+                if isinstance(seq, tuple) and seq[0] != epoch:
+                    continue  # stale result from an abandoned iteration
+                buf[seq[1] if isinstance(seq, tuple) else seq] = payload
             batch = buf.pop(next_seq)
             try:
-                self._in_q.put((submitted, next(it)))
+                self._in_q.put(((epoch, submitted), next(it)))
                 submitted += 1
             except StopIteration:
                 pass
